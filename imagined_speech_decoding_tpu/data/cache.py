@@ -1,0 +1,126 @@
+"""HDF5 cache: standardized on-disk layout for preprocessed trials.
+
+Two layouts, mirroring the reference's two cache paths:
+
+1. **Per-subject groups** ``{SID}/X (N,C,T)``, ``{SID}/Y (N,)`` —
+   written by ``build_subject_cache`` (reference ``proc_all``,
+   ``src/fast/data/preprocess.py:214-224``; the reference fans this out
+   with ``mp.Pool(15)`` — here each subject is one vectorized numpy
+   pass, so a thread pool suffices for the I/O-bound part).
+2. **Official splits** ``X_train/Y_train/X_valid/Y_valid/X_test/Y_test``
+   with metadata attrs — written by ``build_official_cache`` (reference
+   ``scripts/preprocess.py:31-104``).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .constants import CLASSES, Electrodes, NAME, SFREQ, SUBJECTS
+from . import ingest
+
+
+def build_subject_cache(
+    src_folder: str,
+    out_path: str,
+    subjects: Tuple[str, ...] = SUBJECTS,
+    max_workers: int = 8,
+    verbose: bool = True,
+) -> str:
+    """Merge each subject's train+val trials and write per-subject groups."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    import h5py
+
+    def one(sid: str):
+        x, y = ingest.load_subject_train_val(src_folder, sid)
+        return sid, x, y
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        results = list(pool.map(one, subjects))
+
+    with h5py.File(out_path, "w") as f:
+        for sid, x, y in results:
+            f.create_dataset(f"{sid}/X", data=x)
+            f.create_dataset(f"{sid}/Y", data=y)
+            if verbose:
+                print(f"  cached S{sid}: {x.shape} {np.bincount(y)}")
+    return out_path
+
+
+def build_official_cache(
+    src_folder: str,
+    out_path: str,
+    excel_path: Optional[str] = None,
+    compression: Optional[str] = "gzip",
+    verbose: bool = True,
+) -> str:
+    """Write one HDF5 with the three official splits + metadata attrs.
+
+    Per-split failures are tolerated (a missing split is skipped with a
+    warning); the build aborts only if *no* split loads — matching the
+    reference's failure-tolerance contract (``scripts/preprocess.py:47-77``).
+    """
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    splits = {}
+    loaders = {
+        "train": lambda: ingest.load_training_set(src_folder, verbose),
+        "valid": lambda: ingest.load_validation_set(src_folder, verbose),
+        "test": lambda: ingest.load_test_set(
+            src_folder, ingest.resolve_excel_path(src_folder, excel_path), verbose
+        ),
+    }
+    for name, fn in loaders.items():
+        try:
+            splits[name] = fn()
+        except Exception as e:  # noqa: BLE001 — per-split tolerance by design
+            print(f"  [warn] split {name!r} failed: {type(e).__name__}: {e}")
+    if not splits:
+        raise RuntimeError("all splits failed to load — nothing to cache")
+
+    with h5py.File(out_path, "w") as f:
+        for name, (x, y) in splits.items():
+            f.create_dataset(f"X_{name}", data=x, compression=compression)
+            f.create_dataset(f"Y_{name}", data=y, compression=compression)
+        f.attrs["n_subjects"] = len(SUBJECTS)
+        f.attrs["classes"] = list(CLASSES)
+        f.attrs["electrodes"] = list(Electrodes)
+        f.attrs["sfreq"] = SFREQ
+        f.attrs["name"] = NAME
+    return out_path
+
+
+def load_standardized_h5(cache_path: str, verbose: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a per-subject cache → ``(S, N, C, T)`` float32, ``(S, N)`` labels.
+
+    Subjects are read in sorted key order (reference:
+    ``src/fast/data/loaders.py:27-45``).
+    """
+    import h5py
+
+    xs, ys = [], []
+    with h5py.File(cache_path, "r") as f:
+        for sid in sorted(f.keys()):
+            xs.append(f[sid]["X"][()])
+            ys.append(f[sid]["Y"][()])
+    x, y = np.asarray(xs), np.asarray(ys)
+    if verbose:
+        print(f"loaded {cache_path}: X{x.shape} Y{y.shape}")
+    return x, y
+
+
+def load_official_h5(cache_path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Read an official-splits cache → ``{split: (X, Y)}``."""
+    import h5py
+
+    out = {}
+    with h5py.File(cache_path, "r") as f:
+        for name in ("train", "valid", "test"):
+            if f"X_{name}" in f:
+                out[name] = (f[f"X_{name}"][()], f[f"Y_{name}"][()])
+    return out

@@ -1,0 +1,184 @@
+"""Raw dataset ingest: BCIC2020 Track #3 ``.mat`` files + Excel answer sheet.
+
+Capability parity with the reference loaders
+(``src/fast/data/preprocess.py:49-190``): training/validation splits are
+MATLAB v5 files (``scipy.io.loadmat``) holding ``epo_train/epo_validation``
+structs with ``x`` of shape ``(T, C, N)`` and one-hot ``y``; the test
+split is MATLAB v7.3 (HDF5, read with ``h5py``) and its labels come from
+the competition's Excel answer sheet. All trials are edge-padded from
+795 to ``TARGET_TIMEPOINTS`` (800) samples.
+
+Everything here returns plain numpy ``(N, C, T)`` float32 arrays —
+device placement is the caller's concern (see ``data.arrays``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .constants import SUBJECTS, TARGET_TIMEPOINTS
+
+Arrays = Tuple[np.ndarray, np.ndarray]
+
+
+def _edge_pad_time(x: np.ndarray, target: int = TARGET_TIMEPOINTS) -> np.ndarray:
+    """Edge-pad the trailing time axis of ``(N, C, T)`` up to ``target``."""
+    t = x.shape[-1]
+    if t >= target:
+        return x
+    return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, target - t)], mode="edge")
+
+
+def _load_mat_epochs(path: str, struct: str) -> Arrays:
+    """Read one v5 ``.mat`` epoch struct → ``(N, C, T)`` float32, int labels.
+
+    The on-disk layout is ``x: (T, C, N)`` and ``y: (K, N)`` one-hot
+    (reference: ``src/fast/data/preprocess.py:57-62``).
+    """
+    import scipy.io
+
+    data = scipy.io.loadmat(path)
+    node = data[struct]
+    x = np.asarray(node["x"][0][0])
+    y = np.asarray(node["y"][0][0]).argmax(0)
+    x = np.transpose(x, (2, 1, 0)).astype(np.float32)
+    x = _edge_pad_time(x)
+    return x, y.astype(np.uint8)
+
+
+def _load_mat73_test(path: str) -> np.ndarray:
+    """Read a v7.3 test ``.mat`` → ``(N, C, T)`` float32 (no labels inside)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if "epo_test" not in f:
+            raise KeyError(f"{path}: no 'epo_test' group")
+        x = np.array(f["epo_test"]["x"])
+    x = x.astype(np.float32)
+    return _edge_pad_time(x)
+
+
+def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[str, np.ndarray]:
+    """Parse the competition answer sheet → per-subject label arrays (0-4).
+
+    Layout (reference: ``src/fast/data/preprocess.py:104-121``): subject
+    ``i`` (1-based) occupies column ``2*i``, rows 3..52, values 1-5.
+    Requires an Excel reader engine (openpyxl); if unavailable, a
+    sibling ``.csv`` export of the sheet is accepted as a fallback.
+    """
+    import pandas as pd
+
+    csv_fallback = os.path.splitext(excel_path)[0] + ".csv"
+    if excel_path.endswith(".csv"):
+        df = pd.read_csv(excel_path, header=None)
+    else:
+        try:
+            df = pd.read_excel(excel_path, header=None)
+        except ImportError:
+            if os.path.exists(csv_fallback):
+                df = pd.read_csv(csv_fallback, header=None)
+            else:
+                raise
+    out: Dict[str, np.ndarray] = {}
+    for i in range(n_subjects):
+        col = 2 * (i + 1)
+        raw = pd.to_numeric(df.iloc[3:53, col], errors="coerce").to_numpy()
+        out[SUBJECTS[i]] = (raw - 1).astype(np.uint8)
+    return out
+
+
+def _collect_split(base_folder: str, split: str, struct: str, verbose: bool = True) -> Arrays:
+    xs, ys = [], []
+    folder = os.path.join(base_folder, split)
+    for sid in SUBJECTS:
+        path = os.path.join(folder, f"Data_Sample{sid}.mat")
+        if not os.path.exists(path):
+            continue
+        x, y = _load_mat_epochs(path, struct)
+        xs.append(x)
+        ys.append(y)
+        if verbose:
+            print(f"  {split} S{sid}: {x.shape}")
+    if not xs:
+        raise FileNotFoundError(f"no subject files under {folder}")
+    return np.concatenate(xs, axis=0), np.concatenate(ys, axis=0)
+
+
+def load_training_set(base_folder: str, verbose: bool = True) -> Arrays:
+    """All subjects' official training trials, concatenated (N, C, T)."""
+    return _collect_split(base_folder, "Training set", "epo_train", verbose)
+
+
+def load_validation_set(base_folder: str, verbose: bool = True) -> Arrays:
+    """All subjects' official validation trials, concatenated (N, C, T)."""
+    return _collect_split(base_folder, "Validation set", "epo_validation", verbose)
+
+
+def load_test_set(base_folder: str, excel_path: str, verbose: bool = True) -> Arrays:
+    """All subjects' official test trials + answer-sheet labels."""
+    per_subject = load_test_set_per_subject(base_folder, excel_path, verbose)
+    xs = [per_subject[sid][0] for sid in SUBJECTS if sid in per_subject]
+    ys = [per_subject[sid][1] for sid in SUBJECTS if sid in per_subject]
+    if not xs:
+        raise FileNotFoundError(f"no test files under {base_folder}")
+    return np.concatenate(xs, axis=0), np.concatenate(ys, axis=0)
+
+
+def load_test_set_per_subject(
+    base_folder: str, excel_path: str, verbose: bool = True
+) -> Dict[str, Arrays]:
+    """Official test split keyed by subject ID (for per-subject evaluation)."""
+    folder = os.path.join(base_folder, "Test set")
+    labels = load_excel_labels(excel_path)
+    out: Dict[str, Arrays] = {}
+    for sid in SUBJECTS:
+        path = os.path.join(folder, f"Data_Sample{sid}.mat")
+        if not os.path.exists(path):
+            continue
+        x = _load_mat73_test(path)
+        out[sid] = (x, labels[sid])
+        if verbose:
+            print(f"  Test S{sid}: {x.shape}")
+    return out
+
+
+def load_subject_train_val(base_folder: str, sid: str) -> Arrays:
+    """One subject's train+validation trials merged (the per-subject CV pool)."""
+    parts_x, parts_y = [], []
+    for split, struct in (("Training set", "epo_train"), ("Validation set", "epo_validation")):
+        path = os.path.join(base_folder, split, f"Data_Sample{sid}.mat")
+        if os.path.exists(path):
+            x, y = _load_mat_epochs(path, struct)
+            parts_x.append(x)
+            parts_y.append(y)
+    if not parts_x:
+        raise FileNotFoundError(f"no data for subject {sid} under {base_folder}")
+    return np.concatenate(parts_x, axis=0), np.concatenate(parts_y, axis=0)
+
+
+def resolve_data_folder(data_folder: str, extra_candidates: Optional[list] = None) -> str:
+    """Resolve the raw-data folder with repo-relative fallback."""
+    candidates = [os.path.abspath(data_folder)]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates.append(os.path.join(repo_root, "BCIC2020Track3"))
+    candidates.extend(extra_candidates or [])
+    for path in candidates:
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(f"BCIC2020Track3 folder not found. Tried: {candidates}")
+
+
+def resolve_excel_path(base_folder: str, excel_path: Optional[str] = None) -> str:
+    """Resolve the answer-sheet path with the standard in-dataset fallback."""
+    candidates = []
+    if excel_path:
+        candidates.append(os.path.abspath(excel_path))
+    candidates.append(os.path.join(base_folder, "Test set", "Track3_Answer Sheet_Test.xlsx"))
+    candidates.append(os.path.join(base_folder, "Test set", "Track3_Answer Sheet_Test.csv"))
+    for path in candidates:
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(f"Test answer sheet not found. Tried: {candidates}")

@@ -1,0 +1,77 @@
+"""Synthetic EEG generator for tests and benchmarks.
+
+The reference tests stand in ``torch.randn`` for EEG
+(``tests/conftest.py:57-69``); pure noise can't validate *learning*, so
+this generator adds a class-conditional structure: each class imprints a
+distinct set of band-limited sinusoidal sources mixed into the montage,
+plus 1/f-ish background noise. Models must find the class signature to
+beat chance, which makes end-to-end "does training learn?" tests
+meaningful without the real (non-redistributable) dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from .constants import SFREQ, TARGET_TIMEPOINTS
+
+
+def synthetic_trials(
+    seed: int,
+    n_trials: int,
+    n_channels: int = 64,
+    n_samples: int = TARGET_TIMEPOINTS,
+    n_classes: int = 5,
+    sfreq: float = SFREQ,
+    snr: float = 0.6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generate ``(N, C, T)`` float32 trials with learnable class structure.
+
+    Each class k has 3 oscillatory sources at class-specific frequencies
+    (4-30 Hz) with fixed random spatial mixing patterns; trials add phase
+    jitter and broadband noise. ``snr`` scales the class signal.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples) / sfreq
+
+    freqs = 4.0 + 26.0 * rng.random((n_classes, 3))
+    mixing = rng.normal(size=(n_classes, 3, n_channels)).astype(np.float32)
+
+    y = rng.integers(0, n_classes, size=n_trials).astype(np.uint8)
+    x = rng.normal(scale=1.0, size=(n_trials, n_channels, n_samples)).astype(np.float32)
+    # Crude 1/f coloring: cumulative-sum smoothing of white noise.
+    smooth = np.diff(np.cumsum(x, axis=-1, dtype=np.float32), prepend=np.float32(0), axis=-1)
+    x = (0.5 * x + 0.5 * smooth).astype(np.float32)
+
+    phases = rng.uniform(0, 2 * np.pi, size=(n_trials, 3))
+    for k in range(n_classes):
+        sel = np.flatnonzero(y == k)
+        if sel.size == 0:
+            continue
+        # sources: (n_sel, 3, T)
+        src = np.sin(
+            2 * np.pi * freqs[k][None, :, None] * t[None, None, :]
+            + phases[sel][:, :, None]
+        ).astype(np.float32)
+        x[sel] += snr * np.einsum("nst,sc->nct", src, mixing[k])
+
+    return x, y
+
+
+def synthetic_corpus(
+    seed: int,
+    n_subjects: int = 15,
+    n_trials: int = 350,
+    n_channels: int = 64,
+    n_samples: int = TARGET_TIMEPOINTS,
+    n_classes: int = 5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generate a full ``(S, N, C, T)`` corpus (per-subject seeds differ)."""
+    xs, ys = [], []
+    for s in range(n_subjects):
+        x, y = synthetic_trials(seed + 1000 * s, n_trials, n_channels, n_samples, n_classes)
+        xs.append(x)
+        ys.append(y)
+    return np.stack(xs), np.stack(ys)
