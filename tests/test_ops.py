@@ -1,0 +1,292 @@
+"""Signal-op tests: SciPy parity (rtol 1e-4), windowing semantics, CSP
+properties, masked batch-norm equivalence with ragged computation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from imagined_speech_decoding_tpu import ops
+
+RTOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def eeg():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 4, 500)).astype(np.float64)
+    # band-limited-ish content
+    x = np.cumsum(x, axis=-1) * 0.05 + x
+    return x.astype(np.float32)
+
+
+class TestWindowing:
+    def test_sliding_window_matches_manual(self):
+        x = np.arange(20, dtype=np.float32)
+        w = np.asarray(ops.sliding_window(jnp.asarray(x), 8, 4))
+        assert w.shape == (4, 8)  # (20-8)//4+1
+        np.testing.assert_array_equal(w[0], x[0:8])
+        np.testing.assert_array_equal(w[1], x[4:12])
+        np.testing.assert_array_equal(w[3], x[12:20])
+
+    def test_sliding_window_batched(self, eeg):
+        w = ops.sliding_window(jnp.asarray(eeg), 250, 125)
+        assert w.shape == (3, 4, 3, 250)
+        np.testing.assert_array_equal(np.asarray(w)[1, 2, 1], eeg[1, 2, 125:375])
+
+    def test_num_windows_reference_config(self):
+        assert ops.num_windows(800, 250, 125) == 5
+
+    def test_edge_pad(self):
+        x = jnp.asarray(np.arange(10, dtype=np.float32).reshape(2, 5))
+        y = np.asarray(ops.edge_pad(x, 8))
+        assert y.shape == (2, 8)
+        np.testing.assert_array_equal(y[0, 5:], [4, 4, 4])
+
+    def test_baseline_correct(self):
+        x = jnp.asarray(np.ones((2, 3, 10), np.float32) * 5)
+        y = np.asarray(ops.baseline_correct(x, 4))
+        np.testing.assert_allclose(y, 0.0)
+
+    def test_zone_gather(self):
+        from imagined_speech_decoding_tpu.data import zone_layout
+
+        zl = zone_layout()
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 64, 50)).astype(np.float32))
+        g, m = ops.zone_gather(x, zl.indices, zl.mask)
+        assert g.shape == (2, 8, 15, 50)
+        # Real slots hold the right channels; padded slots are zero.
+        np.testing.assert_array_equal(
+            np.asarray(g)[0, 0, 0], np.asarray(x)[0, zl.indices[0, 0]]
+        )
+        assert np.abs(np.asarray(g)[0, 7, 4:]).max() == 0.0  # Occipital has 4 chans
+
+
+class TestFilters:
+    def test_lfilter_matches_scipy(self, eeg):
+        b, a = sps.butter(4, 0.3)
+        ours = np.asarray(ops.lfilter(b, a, jnp.asarray(eeg)))
+        ref = sps.lfilter(b, a, eeg.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+
+    def test_lfilter_fir_case(self, eeg):
+        b = sps.firwin(31, 0.2)
+        ours = np.asarray(ops.lfilter(b, [1.0], jnp.asarray(eeg)))
+        ref = sps.lfilter(b, [1.0], eeg.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+
+    def test_sosfilt_matches_scipy(self, eeg):
+        sos = sps.butter(4, [0.05, 0.3], btype="bandpass", output="sos")
+        ours = np.asarray(ops.sosfilt(sos, jnp.asarray(eeg)))
+        ref = sps.sosfilt(sos, eeg.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+
+    def test_filtfilt_matches_scipy(self, eeg):
+        b, a = sps.iirnotch(60, 30, fs=250)
+        ours = np.asarray(ops.filtfilt(b, a, jnp.asarray(eeg)))
+        ref = sps.filtfilt(b, a, eeg.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+
+    def test_sosfiltfilt_matches_scipy(self, eeg):
+        sos = sps.butter(4, [4 / 125, 40 / 125], btype="bandpass", output="sos")
+        ours = np.asarray(ops.sosfiltfilt(sos, jnp.asarray(eeg)))
+        ref = sps.sosfiltfilt(sos, eeg.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+
+    def test_fir_filter_zero_phase_matches_scipy(self, eeg):
+        taps = ops.mne_style_fir_taps(250.0, 4.0, 40.0)
+        assert len(taps) % 2 == 1
+        ours = np.asarray(ops.fir_filter(taps, jnp.asarray(eeg), zero_phase=True))
+        pad = (len(taps) - 1) // 2
+        ext = np.pad(eeg.astype(np.float64), [(0, 0), (0, 0), (pad, pad)], mode="reflect")
+        ref = sps.lfilter(taps, [1.0], ext, axis=-1)[..., 2 * pad :]
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+
+    def test_bandpass_attenuates_out_of_band(self):
+        fs = 250.0
+        t = np.arange(1000) / fs
+        inband = np.sin(2 * np.pi * 10 * t)
+        outband = np.sin(2 * np.pi * 70 * t)
+        x = jnp.asarray((inband + outband)[None, :].astype(np.float32))
+        y = np.asarray(ops.bandpass_filter(x, fs, 4.0, 40.0, method="iir"))[0]
+        mid = slice(200, 800)
+        # In-band survives, out-of-band is crushed.
+        corr_in = np.corrcoef(y[mid], inband[mid])[0, 1]
+        assert corr_in > 0.99
+        assert np.std(y[mid] - inband[mid]) < 0.1
+
+    def test_notch_filter_kills_line_noise(self):
+        fs = 250.0
+        t = np.arange(2000) / fs
+        x = jnp.asarray((np.sin(2 * np.pi * 60 * t)).astype(np.float32)[None])
+        y = np.asarray(ops.notch_filter(x, fs, 60.0))[0]
+        assert np.abs(y[500:1500]).max() < 0.15
+
+    def test_jit_compatible(self, eeg):
+        sos = sps.butter(4, [0.05, 0.3], btype="bandpass", output="sos")
+        f = jax.jit(lambda x: ops.sosfiltfilt(sos, x))
+        y1 = np.asarray(f(jnp.asarray(eeg)))
+        y2 = np.asarray(ops.sosfiltfilt(sos, jnp.asarray(eeg)))
+        np.testing.assert_allclose(y1, y2, rtol=RTOL, atol=RTOL * np.abs(y2).max())
+
+
+class TestSpectral:
+    def test_stft_matches_scipy(self, eeg):
+        f_ref, t_ref, z_ref = sps.stft(eeg.astype(np.float64), fs=250, nperseg=64, noverlap=32)
+        f, t, z = ops.stft(jnp.asarray(eeg), fs=250, nperseg=64, noverlap=32)
+        np.testing.assert_allclose(f, f_ref)
+        np.testing.assert_allclose(t, t_ref)
+        np.testing.assert_allclose(
+            np.asarray(z), z_ref, rtol=RTOL, atol=RTOL * np.abs(z_ref).max()
+        )
+
+    def test_welch_matches_scipy(self, eeg):
+        f_ref, p_ref = sps.welch(eeg.astype(np.float64), fs=250, nperseg=128)
+        f, p = ops.welch_psd(jnp.asarray(eeg), fs=250, nperseg=128)
+        np.testing.assert_allclose(f, f_ref)
+        np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-3, atol=RTOL * p_ref.max())
+
+    def test_band_power_shapes(self, eeg):
+        bp = ops.band_power(jnp.asarray(eeg), 250.0, list(ops.BANDS.values()), nperseg=128)
+        assert bp.shape == (3, 4, 5)
+        assert np.isfinite(np.asarray(bp)).all()
+
+    def test_log_bandpower_features(self, eeg):
+        feats = ops.log_bandpower_features(jnp.asarray(eeg), 250.0, nperseg=128)
+        assert feats.shape == (3, 4 * 5)
+
+    def test_filterbank_shape(self, eeg):
+        fb = ops.filterbank(jnp.asarray(eeg), 250.0, [(4, 8), (8, 13), (13, 30)])
+        assert fb.shape == (3, 4, 3, 500)
+
+    def test_band_stft_heatmap(self, eeg):
+        names, times, mat = ops.band_stft_heatmap(jnp.asarray(eeg), 250.0)
+        assert len(names) == 5
+        assert mat.shape[:-1] == (3, 4, 5)
+
+
+class TestCSP:
+    @staticmethod
+    def _two_class_data(n=60, c=8, t=200):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(n, c, t)).astype(np.float32)
+        y = (np.arange(n) % 2).astype(np.int32)
+        # class 1 gets extra variance on channels 0-1
+        x[y == 1, :2] *= 3.0
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def test_two_class_separation(self):
+        x, y = self._two_class_data()
+        model, feats = ops.csp_fit_transform(x, y, n_classes=2, n_components=4)
+        assert model.filters.shape == (4, 8)
+        assert feats.shape == (60, 4)
+        # The top CSP feature should separate the classes strongly.
+        f = np.asarray(feats)
+        yn = np.asarray(y)
+        d = np.abs(f[yn == 0].mean(0) - f[yn == 1].mean(0))
+        assert d.max() > 1.0
+
+    def test_multiclass_ovr(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(100, 6, 150)).astype(np.float32)
+        y = (np.arange(100) % 5).astype(np.int32)
+        for k in range(5):
+            x[y == k, k % 6] *= 2.0 + k
+        model, feats = ops.csp_fit_transform(jnp.asarray(x), jnp.asarray(y), 5, n_components=10)
+        assert model.filters.shape == (10, 6)
+        assert feats.shape == (100, 10)
+        assert np.isfinite(np.asarray(feats)).all()
+
+    def test_deterministic(self):
+        x, y = self._two_class_data()
+        m1 = ops.csp_fit(x, y, 2, 4)
+        m2 = ops.csp_fit(x, y, 2, 4)
+        np.testing.assert_array_equal(np.asarray(m1.filters), np.asarray(m2.filters))
+
+    def test_bad_component_count_raises(self):
+        x, y = self._two_class_data()
+        with pytest.raises(ValueError):
+            ops.csp_fit(x, jnp.asarray(np.asarray(y) % 3), n_classes=3, n_components=8)
+
+
+class TestMaskedBatchNorm:
+    def test_unmasked_matches_torch_semantics(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 3, 5, 6)).astype(np.float32)
+        params, state = ops.bn_init(3)
+        y, new_state = ops.batch_norm(jnp.asarray(x), params, state, train=True)
+        ref_mean = x.mean(axis=(0, 2, 3))
+        ref_var = x.var(axis=(0, 2, 3))
+        yn = np.asarray(y)
+        ref = (x - ref_mean[None, :, None, None]) / np.sqrt(ref_var[None, :, None, None] + 1e-5)
+        np.testing.assert_allclose(yn, ref, rtol=1e-4, atol=1e-5)
+        n = 4 * 5 * 6
+        np.testing.assert_allclose(
+            np.asarray(new_state.mean), 0.1 * ref_mean, rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.var), 0.9 + 0.1 * ref_var * n / (n - 1), rtol=1e-4
+        )
+
+    def test_masked_equals_ragged(self):
+        """Masked BN over padded channels == plain BN over only real channels."""
+        rng = np.random.default_rng(1)
+        real = rng.normal(size=(4, 3, 5, 6)).astype(np.float32)  # 5 real channels
+        padded = np.concatenate([real, np.zeros((4, 3, 2, 6), np.float32)], axis=2)
+        mask = np.zeros((1, 1, 7, 1), np.float32)
+        mask[:, :, :5] = 1.0
+
+        params, state = ops.bn_init(3)
+        y_ragged, st_ragged = ops.batch_norm(jnp.asarray(real), params, state, train=True)
+        y_masked, st_masked = ops.batch_norm(
+            jnp.asarray(padded), params, state, train=True, mask=jnp.asarray(mask)
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_masked)[:, :, :5], np.asarray(y_ragged), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_masked.mean), np.asarray(st_ragged.mean), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_masked.var), np.asarray(st_ragged.var), rtol=1e-4, atol=1e-6
+        )
+
+    def test_eval_uses_running_stats(self):
+        params, state = ops.bn_init(2)
+        state = ops.BNState(mean=jnp.asarray([1.0, 2.0]), var=jnp.asarray([4.0, 9.0]))
+        x = jnp.ones((1, 2, 3))
+        y, _ = ops.batch_norm(x, params, state, train=False, feature_axis=1)
+        np.testing.assert_allclose(np.asarray(y)[0, 0], (1 - 1) / np.sqrt(4 + 1e-5), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(y)[0, 1], (1 - 2) / np.sqrt(9 + 1e-5), rtol=1e-5)
+
+
+class TestAugment:
+    def test_gaussian_noise(self):
+        key = jax.random.PRNGKey(0)
+        x = jnp.ones((2, 4, 50))
+        y = ops.gaussian_noise(key, x, sigma=0.0)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_channel_dropout_zeroes_channels(self):
+        key = jax.random.PRNGKey(3)
+        x = jnp.ones((8, 16, 30))
+        y = np.asarray(ops.channel_dropout(key, x, rate=0.5))
+        per_channel = y.sum(axis=-1)
+        assert ((per_channel == 0) | (per_channel == 30)).all()
+        assert (per_channel == 0).any()
+
+    def test_time_shift_preserves_content(self):
+        key = jax.random.PRNGKey(1)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3, 40)).astype(np.float32))
+        y = ops.time_shift(key, x, max_shift=5)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(y), axis=-1), np.sort(np.asarray(x), axis=-1), rtol=1e-6
+        )
+
+    def test_augment_batch_shapes(self):
+        key = jax.random.PRNGKey(0)
+        x = jnp.ones((4, 8, 100))
+        y = ops.augment_batch(key, x)
+        assert y.shape == x.shape
