@@ -1,0 +1,223 @@
+"""FAST — Functional Areas Spatio-Temporal Transformer, TPU-native.
+
+Functional re-design of the reference model (``src/fast/models/fast.py:
+213-284``): sliding-window tokenizer → zone-batched CNN encoders →
+pre-LN transformer over (n_tokens + CLS) tokens → CLS classifier.
+
+Differences from the reference that matter for TPU efficiency:
+  * the 8 per-zone encoders run as ONE vmapped kernel over a dense
+    ``(Z, C_max)`` zone layout (see ``models.heads``) instead of a
+    Python loop over ragged modules;
+  * window extraction + zone gather are a single static-index gather
+    (``ops.sliding_window`` + ``ops.zone_gather``) that XLA fuses with
+    the first conv;
+  * everything is a pure function of ``(params, state, x, rng)`` —
+    trivially jit/vmap/shard_map-able; batch-norm state (only present
+    for the CVBlock/EEGNet/HeadConv head variants) threads explicitly.
+
+All three reference forward modes are provided: ``default``,
+``train_head`` (per-token logits, averaged — ``fast.py:273-278``) and
+``train_transformer`` (frozen head via stop_gradient — ``fast.py:
+279-282``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FASTConfig
+from ..data.constants import zone_layout
+from ..ops.windowing import sliding_window, zone_gather
+from . import modules as nn
+from .heads import head_apply, head_init
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Attention block (pre-LN; reference fast.py:10-29)
+# ---------------------------------------------------------------------------
+
+def attention_block_init(key, embed_dim: int, hidden_dim: int, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "ln1": nn.layernorm_init(embed_dim, dtype),
+        "attn": nn.mha_init(k1, embed_dim, dtype),
+        "ln2": nn.layernorm_init(embed_dim, dtype),
+        "fc1": nn.linear_init(k2, embed_dim, hidden_dim, dtype=dtype),
+        "fc2": nn.linear_init(k3, hidden_dim, embed_dim, dtype=dtype),
+    }
+
+
+def attention_block_apply(
+    params: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    r1, r2, r3, r4 = nn.split_rng(rng, 4)
+    inp = nn.layernorm(params["ln1"], x)
+    x = x + nn.mha(params["attn"], inp, num_heads, dropout=dropout, rng=r1, train=train)
+    h = nn.layernorm(params["ln2"], x)
+    h = jax.nn.gelu(nn.linear(params["fc1"], h), approximate=False)
+    h = nn.dropout(h, dropout, r2, train)
+    h = nn.linear(params["fc2"], h)
+    h = nn.dropout(h, dropout, r3, train)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# FAST
+# ---------------------------------------------------------------------------
+
+def fast_init(key: jax.Array, cfg: FASTConfig, dtype=jnp.float32) -> Tuple[Params, State]:
+    """Initialize FAST params/state (reference __init__, fast.py:216-240)."""
+    layout = zone_layout(cfg.electrodes, cfg.zone_dict)
+    kh, ki, kt, kp, kc, kl = jax.random.split(key, 6)
+
+    head_params, head_state = head_init(
+        kh, cfg.head, layout.n_zones, layout.c_max, cfg.dim_cnn, cfg.window_len, dtype
+    )
+    blocks = [
+        attention_block_init(k, cfg.dim_token, cfg.dim_token * 2, dtype)
+        for k in jax.random.split(kt, cfg.num_layers)
+    ]
+    params = {
+        "head": head_params,
+        "input_layer": nn.linear_init(ki, cfg.dim_cnn * layout.n_zones, cfg.dim_token, dtype=dtype),
+        "blocks": blocks,
+        "pos_embedding": jax.random.normal(kp, (1, cfg.n_tokens + 1, cfg.dim_token), dtype),
+        "cls_token": jax.random.normal(kc, (1, 1, cfg.dim_token), dtype),
+        "last_layer": nn.linear_init(kl, cfg.dim_token, cfg.n_classes, dtype=dtype),
+    }
+    return params, {"head": head_state}
+
+
+def fast_forward_head(
+    params: Params,
+    state: State,
+    x: jnp.ndarray,
+    cfg: FASTConfig,
+    *,
+    step_override: Optional[int] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, State]:
+    """Tokenize + encode: ``(B, C, T) -> (B, N, Z, F)``.
+
+    Reference ``forward_head`` (fast.py:242-252): unfold into overlapping
+    windows, flatten windows into the batch, run the zone encoders.
+    ``step_override`` densifies tokens at inference (static arg).
+    """
+    layout = zone_layout(cfg.electrodes, cfg.zone_dict)
+    step = step_override if step_override is not None else cfg.slide_step
+    b = x.shape[0]
+
+    w = sliding_window(x, cfg.window_len, step)  # (B, C, N, W)
+    n = w.shape[2]
+    w = jnp.moveaxis(w, 2, 1).reshape(b * n, x.shape[1], cfg.window_len)  # (B*N, C, W)
+    xz, zmask = zone_gather(w, layout.indices, layout.mask)  # (B*N, Z, C_max, W)
+    feat, new_head_state = head_apply(
+        cfg.head, params["head"], state["head"], xz, zmask, train=train, rng=rng
+    )  # (B*N, Z, F)
+    feat = feat.reshape(b, n, layout.n_zones, cfg.dim_cnn)
+    return feat, {"head": new_head_state}
+
+
+def fast_batched_forward_head(
+    params: Params,
+    state: State,
+    x: jnp.ndarray,
+    cfg: FASTConfig,
+    step: Optional[int] = None,
+    micro_batch: int = 64,
+) -> jnp.ndarray:
+    """Micro-batched head forward for memory-bounded dense tokenization
+    (reference ``batched_forward_head``, fast.py:254-258). Eval-mode only
+    (state is not updated). Requires ``B % micro_batch == 0`` under jit;
+    otherwise falls back to one chunk."""
+    b = x.shape[0]
+    if b % micro_batch != 0:
+        feat, _ = fast_forward_head(params, state, x, cfg, step_override=step, train=False)
+        return feat
+    chunks = x.reshape(b // micro_batch, micro_batch, *x.shape[1:])
+
+    def one(chunk):
+        feat, _ = fast_forward_head(params, state, chunk, cfg, step_override=step, train=False)
+        return feat
+
+    out = jax.lax.map(one, chunks)
+    return out.reshape(b, *out.shape[2:])
+
+
+def fast_forward_transformer(
+    params: Params,
+    feat: jnp.ndarray,
+    cfg: FASTConfig,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Transformer trunk + CLS classifier: ``(B, N, Z, F) -> (B, K)``.
+
+    Reference ``forward_transformer`` (fast.py:260-268). The learned
+    positional table has ``cfg.n_tokens + 1`` slots; shorter token
+    sequences use its prefix (same slicing semantics as the reference).
+    """
+    b, n = feat.shape[:2]
+    rngs = nn.split_rng(rng, cfg.num_layers + 2)
+    h = feat.reshape(b, n, -1)
+    h = jax.nn.gelu(nn.linear(params["input_layer"], h), approximate=False)
+    cls = jnp.broadcast_to(params["cls_token"].astype(h.dtype), (b, 1, h.shape[-1]))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["pos_embedding"][:, : n + 1].astype(h.dtype)
+    for i, block in enumerate(params["blocks"]):
+        h = attention_block_apply(
+            block, h, cfg.num_heads, dropout=cfg.dropout, rng=rngs[i], train=train
+        )
+    cls_out = nn.dropout(h[:, 0], cfg.dropout, rngs[-1], train)
+    return nn.linear(params["last_layer"], cls_out)
+
+
+def fast_apply(
+    params: Params,
+    state: State,
+    x: jnp.ndarray,
+    cfg: FASTConfig,
+    *,
+    forward_mode: str = "default",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, State]:
+    """Full forward pass with the reference's 3 modes (fast.py:270-284).
+
+    Returns ``(logits (B, n_classes), new_state)``.
+    """
+    r_head, r_tr = nn.split_rng(rng, 2)
+    if forward_mode == "default":
+        feat, new_state = fast_forward_head(params, state, x, cfg, train=train, rng=r_head)
+        logits = fast_forward_transformer(params, feat, cfg, train=train, rng=r_tr)
+        return logits, new_state
+    if forward_mode == "train_head":
+        feat, new_state = fast_forward_head(params, state, x, cfg, train=train, rng=r_head)
+        b, n = feat.shape[:2]
+        h = feat.reshape(b, n, -1)
+        tokens = jax.nn.gelu(nn.linear(params["input_layer"], h), approximate=False)
+        logits = nn.linear(params["last_layer"], tokens).mean(axis=1)
+        return logits, new_state
+    if forward_mode == "train_transformer":
+        feat, new_state = fast_forward_head(params, state, x, cfg, train=train, rng=r_head)
+        feat = jax.lax.stop_gradient(feat)  # frozen feature extractor
+        logits = fast_forward_transformer(params, feat, cfg, train=train, rng=r_tr)
+        return logits, new_state
+    raise NotImplementedError(f"unknown forward_mode {forward_mode!r}")
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

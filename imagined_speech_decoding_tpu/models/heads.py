@@ -1,0 +1,278 @@
+"""Zone-encoder heads: Conv4Layers, CVBlock, EEGNetEncoder, HeadConvPaper.
+
+Functional re-designs of the reference's per-zone encoder families
+(``src/fast/models/fast.py:32-196``). The reference instantiates one
+encoder per functional zone with a *ragged* channel width (4-15) and
+loops over zones in Python (``fast.py:209-210``); here each head is a
+single-zone pure function over a **rectangular** ``(B, C_max, T)`` input
+plus a channel-validity mask, so FAST can ``vmap`` one encoder kernel
+across the zone axis (stacked per-zone params) — one batched XLA program
+instead of 8 sequential module calls.
+
+Masking contract (exact ragged equivalence):
+  * inputs arrive with padded channel rows zeroed (``ops.zone_gather``);
+  * after any op that can write non-zero values into padded rows (a
+    biased conv, a batch-norm affine) the rows are re-zeroed *before*
+    the full-width spatial conv, so padded rows contribute exactly 0 —
+    identical to a ragged-width conv over only the real channels;
+  * batch-norm statistics are computed with the channel mask
+    (``ops.norm.batch_norm``) while channel structure is still present.
+
+Each head is an ``(init, apply)`` pair:
+  ``init(key, c_max, feature_dim, window_len, dtype) -> (params, state)``
+  ``apply(params, state, x, mask, *, train, rng) -> (feat (B, F), state)``
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.norm import BNState, batch_norm, bn_init
+from . import modules as nn
+
+
+class ZoneEncoder(NamedTuple):
+    init: Callable
+    apply: Callable
+
+
+def _mask_rows(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero padded channel rows of ``(B, F, C, T)`` given mask ``(C,)``."""
+    return x * mask.astype(x.dtype)[None, None, :, None]
+
+
+def _bn_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Channel mask shaped for BN over ``(B, F, C, T)``."""
+    return mask[None, None, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Conv4Layers — the default head (reference fast.py:103-119)
+# ---------------------------------------------------------------------------
+
+def conv4layers_init(key, c_max: int, dim: int = 32, window_len: int = 250, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "cnn1": nn.conv2d_init(k1, 1, dim, (1, 5), bias=True, dtype=dtype),
+        "cnn2": nn.conv2d_init(k2, dim, dim, (c_max, 1), bias=False, dtype=dtype),
+        "cnn3": nn.conv2d_init(k3, dim, dim, (1, 5), bias=False, dtype=dtype),
+        "cnn4": nn.conv2d_init(k4, dim, dim, (1, 5), bias=False, dtype=dtype),
+    }
+    return params, {}
+
+
+def conv4layers_apply(params, state, x, mask, *, train=False, rng=None):
+    """4-layer CNN: temporal(1,5)+bias → spatial(C,1) → 2x temporal(1,5)
+    → GELU → mean over time. ``x (B, C_max, T) -> (B, dim)``."""
+    h = x[:, None, :, :]  # (B, 1, C, T)
+    h = nn.conv2d(params["cnn1"], h)  # bias writes into padded rows...
+    h = _mask_rows(h, mask)  # ...so re-zero them before the spatial conv
+    h = nn.conv2d(params["cnn2"], h)  # (B, dim, 1, T-4)
+    h = nn.conv2d(params["cnn3"], h, padding=[(0, 0), (2, 2)])
+    h = nn.conv2d(params["cnn4"], h, padding=[(0, 0), (2, 2)])
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.mean(h[:, :, 0, :], axis=-1), state
+
+
+# ---------------------------------------------------------------------------
+# CVBlock — EEGNet-style head (reference fast.py:32-100)
+# ---------------------------------------------------------------------------
+
+_CV_F1, _CV_D, _CV_F2, _CV_KC, _CV_KC2 = 8, 2, 16, 64, 16
+
+
+def _cv_flat_dim(window_len: int) -> int:
+    """Analytic flat dim (replaces the reference's dummy-forward probe at
+    ``fast.py:66-74``, which hard-codes a 250-sample dummy; here the real
+    window length drives the shape, so non-default windows work too)."""
+    t1 = window_len + 2 * (_CV_KC // 2) - _CV_KC + 1  # conv1, pad Kc/2
+    t2 = t1 // 8  # pool1 (1, 8)
+    t3 = t2 + 2 * (_CV_KC2 // 2) - _CV_KC2 + 1  # conv3, pad Kc2/2
+    t4 = t3 // 2  # pool2 (1, 2)
+    return _CV_F2 * t4
+
+
+def cvblock_init(key, c_max: int, dim_token: int = 32, window_len: int = 250, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    f1, d, f2 = _CV_F1, _CV_D, _CV_F2
+    params = {
+        "conv1": nn.conv2d_init(k1, 1, f1, (1, _CV_KC), bias=False, dtype=dtype),
+        "conv2": nn.conv2d_init(k2, f1, f1 * d, (c_max, 1), bias=False, groups=f1, dtype=dtype),
+        "conv3": nn.conv2d_init(k3, f1 * d, f2, (1, _CV_KC2), bias=False, dtype=dtype),
+        "projector": nn.linear_init(k4, _cv_flat_dim(window_len), dim_token, dtype=dtype),
+    }
+    bn1p, bn1s = bn_init(f1, dtype)
+    bn2p, bn2s = bn_init(f1 * d, dtype)
+    bn3p, bn3s = bn_init(f2, dtype)
+    params.update({"bn1": bn1p, "bn2": bn2p, "bn3": bn3p})
+    state = {"bn1": bn1s, "bn2": bn2s, "bn3": bn3s}
+    return params, state
+
+
+def cvblock_apply(params, state, x, mask, *, train=False, rng=None, dropout_rate=0.5):
+    r1, r2 = nn.split_rng(rng, 2)
+    h = x[:, None, :, :]
+    h = nn.conv2d(params["conv1"], h, padding=[(0, 0), (_CV_KC // 2, _CV_KC // 2)])
+    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train, mask=_bn_mask(mask))
+    h = _mask_rows(h, mask)  # BN affine writes into padded rows
+    h = nn.conv2d(params["conv2"], h, groups=_CV_F1)  # (B, 16, 1, T+1)
+    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train)
+    h = jax.nn.elu(h)
+    h = nn.avg_pool(h, (1, 8))
+    h = nn.dropout(h, dropout_rate, r1, train)
+    h = nn.conv2d(params["conv3"], h, padding=[(0, 0), (_CV_KC2 // 2, _CV_KC2 // 2)])
+    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train)
+    h = jax.nn.elu(h)
+    h = nn.avg_pool(h, (1, 2))
+    h = nn.dropout(h, dropout_rate, r2, train)
+    h = h.reshape(h.shape[0], -1)
+    feat = nn.linear(params["projector"], h)
+    return feat, {"bn1": bn1s, "bn2": bn2s, "bn3": bn3s}
+
+
+# ---------------------------------------------------------------------------
+# EEGNetEncoder — canonical EEGNet adapted to zone tokenization
+# (reference fast.py:122-167)
+# ---------------------------------------------------------------------------
+
+_EN_F1, _EN_D, _EN_KL = 8, 2, 64
+
+
+def eegnet_encoder_init(key, c_max: int, feature_dim: int = 32, window_len: int = 250, dtype=jnp.float32):
+    f1, d = _EN_F1, _EN_D
+    f2 = f1 * d
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
+        "temporal": nn.conv2d_init(k1, 1, f1, (1, _EN_KL), bias=False, dtype=dtype),
+        "spatial": nn.conv2d_init(k2, f1, f2, (c_max, 1), bias=False, groups=f1, dtype=dtype),
+        "sep_depth": nn.conv2d_init(k3, f2, f2, (1, 16), bias=False, groups=f2, dtype=dtype),
+        "sep_point": nn.conv2d_init(k4, f2, f2, (1, 1), bias=False, dtype=dtype),
+        "projector": nn.linear_init(k5, f2, feature_dim, dtype=dtype),
+    }
+    bn1p, bn1s = bn_init(f1, dtype)
+    bn2p, bn2s = bn_init(f2, dtype)
+    bn3p, bn3s = bn_init(f2, dtype)
+    params.update({"bn1": bn1p, "bn2": bn2p, "bn3": bn3p})
+    return params, {"bn1": bn1s, "bn2": bn2s, "bn3": bn3s}
+
+
+def eegnet_encoder_apply(params, state, x, mask, *, train=False, rng=None, dropout_rate=0.25):
+    r1, r2 = nn.split_rng(rng, 2)
+    f1, f2 = _EN_F1, _EN_F1 * _EN_D
+    h = x[:, None, :, :]
+    h = nn.conv2d(params["temporal"], h, padding=[(0, 0), (_EN_KL // 2, _EN_KL // 2)])
+    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train, mask=_bn_mask(mask))
+    h = _mask_rows(h, mask)
+    h = nn.conv2d(params["spatial"], h, groups=f1)  # (B, F2, 1, T+1)
+    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train)
+    h = jax.nn.elu(h)
+    h = nn.avg_pool(h, (1, 4))
+    h = nn.dropout(h, dropout_rate, r1, train)
+    h = nn.conv2d(params["sep_depth"], h, padding=[(0, 0), (8, 8)], groups=f2)
+    h = nn.conv2d(params["sep_point"], h)
+    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train)
+    h = jax.nn.elu(h)
+    h = nn.avg_pool(h, (1, 8))
+    h = nn.dropout(h, dropout_rate, r2, train)
+    h = nn.adaptive_avg_pool_1(h)  # (B, F2)
+    feat = nn.linear(params["projector"], h)
+    return feat, {"bn1": bn1s, "bn2": bn2s, "bn3": bn3s}
+
+
+# ---------------------------------------------------------------------------
+# HeadConvPaper — the paper-version conv head (reference fast.py:170-196)
+# ---------------------------------------------------------------------------
+
+def headconv_paper_init(key, c_max: int, feature_dim: int = 32, window_len: int = 250, dtype=jnp.float32):
+    f1, f2, f3, f4 = feature_dim // 2, feature_dim // 3, feature_dim // 3, feature_dim
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
+        "cnn1_t": nn.conv2d_init(k1, 1, f1, (1, 3), bias=True, dtype=dtype),
+        "cnn1_s": nn.conv2d_init(k2, f1, f1, (c_max, 1), bias=False, dtype=dtype),
+        "cnn2": nn.conv2d_init(k3, f1, f2, (1, 3), bias=False, dtype=dtype),
+        "cnn3": nn.conv2d_init(k4, f2, f3, (1, 3), bias=False, dtype=dtype),
+        "cnn4": nn.conv2d_init(k5, f3, f4, (1, 3), bias=False, dtype=dtype),
+    }
+    state = {}
+    for i, f in zip(range(1, 5), (f1, f2, f3, f4)):
+        p, s = bn_init(f, dtype)
+        params[f"norm{i}"] = p
+        state[f"norm{i}"] = s
+    return params, state
+
+
+def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None):
+    h = x[:, None, :, :]
+    h = nn.conv2d(params["cnn1_t"], h)  # biased → pollutes padded rows
+    h = _mask_rows(h, mask)
+    h = nn.conv2d(params["cnn1_s"], h)  # (B, F1, 1, T-2)
+    new_state = {}
+    h, new_state["norm1"] = batch_norm(h, params["norm1"], state["norm1"], train=train)
+    h = jax.nn.gelu(h, approximate=False)
+    h = nn.max_pool(h, (1, 2))
+    for i in (2, 3, 4):
+        h = nn.conv2d(params[f"cnn{i}"], h)
+        h, new_state[f"norm{i}"] = batch_norm(
+            h, params[f"norm{i}"], state[f"norm{i}"], train=train
+        )
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.max_pool(h, (1, 2))
+    return jnp.mean(h[:, :, 0, :], axis=-1), new_state
+
+
+# ---------------------------------------------------------------------------
+# Registry (replaces the reference's globals()-by-name lookup, fast.py:203)
+# ---------------------------------------------------------------------------
+
+HEAD_REGISTRY: Dict[str, ZoneEncoder] = {
+    "Conv4Layers": ZoneEncoder(conv4layers_init, conv4layers_apply),
+    "CVBlock": ZoneEncoder(cvblock_init, cvblock_apply),
+    "EEGNet_Encoder": ZoneEncoder(eegnet_encoder_init, eegnet_encoder_apply),
+    "HeadConv_Paper_Version": ZoneEncoder(headconv_paper_init, headconv_paper_apply),
+}
+
+
+def get_head(name: str) -> ZoneEncoder:
+    if name not in HEAD_REGISTRY:
+        raise KeyError(f"unknown head {name!r}; available: {sorted(HEAD_REGISTRY)}")
+    return HEAD_REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# Zone-batched Head: one vmapped encoder across all zones
+# (replaces the reference's Python loop over 8 encoders, fast.py:199-210)
+# ---------------------------------------------------------------------------
+
+def head_init(key, head_name: str, n_zones: int, c_max: int, feature_dim: int,
+              window_len: int, dtype=jnp.float32):
+    """Stack per-zone params/state along a leading zone axis."""
+    enc = get_head(head_name)
+    keys = jax.random.split(key, n_zones)
+    ps, ss = zip(*(enc.init(k, c_max, feature_dim, window_len, dtype) for k in keys))
+    params = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *ss) if ss[0] else {}
+    return params, state
+
+
+def head_apply(head_name: str, params, state, x_zones, zone_mask, *, train=False, rng=None):
+    """Apply the zone-batched head.
+
+    ``x_zones (B, Z, C_max, T)`` (padded rows pre-zeroed), ``zone_mask
+    (Z, C_max)`` → features ``(B, Z, F)`` + new stacked state. One
+    ``vmap`` over the zone axis maps per-zone params onto per-zone data.
+    """
+    enc = get_head(head_name)
+    rngs = None if rng is None else jax.random.split(rng, x_zones.shape[1])
+
+    def one_zone(p, s, xz, mz, rz):
+        return enc.apply(p, s, xz, mz, train=train, rng=rz)
+
+    feat, new_state = jax.vmap(
+        one_zone,
+        in_axes=(0, 0, 1, 0, 0 if rngs is not None else None),
+        out_axes=(1, 0),
+    )(params, state, x_zones, zone_mask, rngs)
+    return feat, new_state

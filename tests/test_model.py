@@ -1,0 +1,230 @@
+"""FAST model tests: shapes for all forward modes, token-count math,
+gradient flow (incl. the stop-gradient mode), masked-zone equivalence
+with a ragged per-zone computation, per-head-family checks.
+
+Mirrors the strata of the reference ``tests/test_model.py``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagined_speech_decoding_tpu.models import (
+    HEAD_REGISTRY,
+    attention_block_apply,
+    attention_block_init,
+    fast_apply,
+    fast_batched_forward_head,
+    fast_forward_head,
+    fast_init,
+    param_count,
+)
+from imagined_speech_decoding_tpu.models.heads import get_head
+from imagined_speech_decoding_tpu.ops.windowing import zone_gather
+
+
+@pytest.fixture(scope="module")
+def small_model(request):
+    cfg = request.getfixturevalue("small_config")
+    params, state = fast_init(jax.random.PRNGKey(0), cfg)
+    return cfg, params, state
+
+
+class TestForwardModes:
+    @pytest.mark.parametrize("mode", ["default", "train_head", "train_transformer"])
+    def test_logits_shape(self, small_model, dummy_eeg_small, mode):
+        cfg, params, state = small_model
+        logits, new_state = fast_apply(
+            params, state, jnp.asarray(dummy_eeg_small), cfg, forward_mode=mode
+        )
+        assert logits.shape == (6, cfg.n_classes)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_unknown_mode_raises(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        with pytest.raises(NotImplementedError):
+            fast_apply(params, state, jnp.asarray(dummy_eeg_small), cfg, forward_mode="bogus")
+
+    def test_full_config_forward(self, model_config, dummy_eeg_batch):
+        params, state = fast_init(jax.random.PRNGKey(1), model_config)
+        logits, _ = fast_apply(params, state, jnp.asarray(dummy_eeg_batch), model_config)
+        assert logits.shape == (4, 5)
+        # ~0.19 M params at the canonical config (SURVEY.md appendix) — the
+        # dense C_max zone layout carries extra (inert) spatial-conv rows.
+        n = param_count(params)
+        assert 150_000 < n < 400_000
+
+
+class TestTokenizer:
+    def test_token_count(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        feat, _ = fast_forward_head(params, state, jnp.asarray(dummy_eeg_small), cfg)
+        assert feat.shape == (6, cfg.n_tokens, cfg.n_zones, cfg.dim_cnn)
+        assert cfg.n_tokens == (cfg.seq_len - cfg.window_len) // cfg.slide_step + 1
+
+    def test_step_override_changes_tokens(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        feat, _ = fast_forward_head(
+            params, state, jnp.asarray(dummy_eeg_small), cfg, step_override=25
+        )
+        expected = (cfg.seq_len - cfg.window_len) // 25 + 1
+        assert feat.shape[1] == expected
+
+    def test_batched_forward_head_matches(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        full, _ = fast_forward_head(params, state, jnp.asarray(dummy_eeg_small), cfg)
+        batched = fast_batched_forward_head(
+            params, state, jnp.asarray(dummy_eeg_small), cfg, micro_batch=2
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(batched), rtol=1e-5, atol=1e-5)
+
+
+class TestGradients:
+    def _loss(self, params, state, x, cfg, mode):
+        logits, _ = fast_apply(params, state, x, cfg, forward_mode=mode, train=False)
+        return jnp.sum(logits**2)
+
+    def test_all_params_get_grads_default(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        g = jax.grad(self._loss)(params, state, jnp.asarray(dummy_eeg_small), cfg, "default")
+        flat = jax.tree.leaves_with_path(g)
+        zero = [jax.tree_util.keystr(k) for k, v in flat if float(jnp.abs(v).max()) == 0.0]
+        # Only the padded spatial-conv rows may carry zero grad; whole-leaf
+        # zeros indicate disconnected parameters.
+        assert not zero, f"zero-grad leaves: {zero}"
+
+    def test_head_frozen_in_train_transformer(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        g = jax.grad(self._loss)(
+            params, state, jnp.asarray(dummy_eeg_small), cfg, "train_transformer"
+        )
+        head_grads = jax.tree.leaves(g["head"])
+        assert all(float(jnp.abs(h).max()) == 0.0 for h in head_grads)
+        trunk_grads = jax.tree.leaves(g["blocks"])
+        assert any(float(jnp.abs(t).max()) > 0.0 for t in trunk_grads)
+
+    def test_transformer_unused_in_train_head(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        g = jax.grad(self._loss)(params, state, jnp.asarray(dummy_eeg_small), cfg, "train_head")
+        assert all(float(jnp.abs(t).max()) == 0.0 for t in jax.tree.leaves(g["blocks"]))
+        assert any(float(jnp.abs(h).max()) > 0.0 for h in jax.tree.leaves(g["head"]))
+
+
+class TestAttentionBlock:
+    def test_shape_preserved(self):
+        p = attention_block_init(jax.random.PRNGKey(0), 16, 32)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 16)).astype(np.float32))
+        y = attention_block_apply(p, x, num_heads=4)
+        assert y.shape == x.shape
+
+    def test_residual_at_zero_weights(self):
+        p = attention_block_init(jax.random.PRNGKey(0), 16, 32)
+        p = jax.tree.map(jnp.zeros_like, p)
+        x = jnp.ones((1, 3, 16))
+        y = attention_block_apply(p, x, num_heads=4)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+class TestMaskedZoneEquivalence:
+    """The dense mask-padded zone encoders must equal a ragged computation
+    that slices out only each zone's real channels."""
+
+    @pytest.mark.parametrize("head_name", list(HEAD_REGISTRY))
+    def test_padded_equals_ragged(self, head_name):
+        from imagined_speech_decoding_tpu.data.constants import zone_layout
+
+        electrodes = tuple(f"E{i}" for i in range(6))
+        zones = {"A": ("E0", "E1", "E2", "E3"), "B": ("E4", "E5")}
+        layout = zone_layout(electrodes, zones)
+        enc = get_head(head_name)
+
+        t = 128
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(3, 6, t)).astype(np.float32))
+        xz, zmask = zone_gather(x, layout.indices, layout.mask)
+
+        for zi, zname in enumerate(layout.names):
+            c_real = int(layout.counts[zi])
+            key = jax.random.PRNGKey(zi)
+            # Padded encoder at full width.
+            p_pad, s_pad = enc.init(key, layout.c_max, 8, t)
+            feat_pad, _ = enc.apply(
+                p_pad, s_pad, xz[:, zi], jnp.asarray(layout.mask[zi], jnp.float32), train=True
+            )
+            # Ragged encoder: same params, spatial-conv kernel truncated to
+            # the real width; input is only the real channels.
+            p_ragged = jax.tree.map(lambda v: v, p_pad)
+            for k, sub in p_ragged.items():
+                if isinstance(sub, dict) and "w" in sub and sub["w"].ndim == 4:
+                    if sub["w"].shape[2] == layout.c_max:
+                        sub["w"] = sub["w"][:, :, :c_real, :]
+            x_real = xz[:, zi, :c_real]
+            feat_ragged, _ = enc.apply(
+                p_ragged, s_pad, x_real, jnp.ones((c_real,), jnp.float32), train=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(feat_pad), np.asarray(feat_ragged), rtol=2e-4, atol=2e-4,
+                err_msg=f"head={head_name} zone={zname}",
+            )
+
+
+class TestHeadFamilies:
+    @pytest.mark.parametrize("head_name", list(HEAD_REGISTRY))
+    def test_output_shape(self, head_name):
+        enc = get_head(head_name)
+        params, state = enc.init(jax.random.PRNGKey(0), 7, 12, 250)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 7, 250)).astype(np.float32))
+        feat, new_state = enc.apply(params, state, x, jnp.ones((7,), jnp.float32))
+        assert feat.shape == (5, 12)
+        assert np.isfinite(np.asarray(feat)).all()
+
+    @pytest.mark.parametrize("head_name", list(HEAD_REGISTRY))
+    def test_fast_with_each_head(self, head_name, small_config, dummy_eeg_small):
+        cfg = small_config.replace(head=head_name)
+        params, state = fast_init(jax.random.PRNGKey(0), cfg)
+        logits, new_state = fast_apply(
+            params, state, jnp.asarray(dummy_eeg_small), cfg, train=True,
+            rng=jax.random.PRNGKey(1),
+        )
+        assert logits.shape == (6, 5)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_bn_state_updates_in_train(self, small_config, dummy_eeg_small):
+        cfg = small_config.replace(head="CVBlock")
+        params, state = fast_init(jax.random.PRNGKey(0), cfg)
+        _, new_state = fast_apply(
+            params, state, jnp.asarray(dummy_eeg_small), cfg, train=True,
+            rng=jax.random.PRNGKey(1),
+        )
+        before = jax.tree.leaves(state["head"])
+        after = jax.tree.leaves(new_state["head"])
+        assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(after, before))
+
+    def test_bn_state_frozen_in_eval(self, small_config, dummy_eeg_small):
+        cfg = small_config.replace(head="CVBlock")
+        params, state = fast_init(jax.random.PRNGKey(0), cfg)
+        _, new_state = fast_apply(params, state, jnp.asarray(dummy_eeg_small), cfg, train=False)
+        for a, b in zip(jax.tree.leaves(new_state["head"]), jax.tree.leaves(state["head"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDeterminism:
+    def test_same_key_same_params(self, small_config):
+        p1, _ = fast_init(jax.random.PRNGKey(5), small_config)
+        p2, _ = fast_init(jax.random.PRNGKey(5), small_config)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_eval_forward_deterministic(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        l1, _ = fast_apply(params, state, jnp.asarray(dummy_eeg_small), cfg)
+        l2, _ = fast_apply(params, state, jnp.asarray(dummy_eeg_small), cfg)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    def test_jit_matches_eager(self, small_model, dummy_eeg_small):
+        cfg, params, state = small_model
+        f = jax.jit(lambda p, s, x: fast_apply(p, s, x, cfg)[0])
+        l_jit = f(params, state, jnp.asarray(dummy_eeg_small))
+        l_eager, _ = fast_apply(params, state, jnp.asarray(dummy_eeg_small), cfg)
+        np.testing.assert_allclose(np.asarray(l_jit), np.asarray(l_eager), rtol=1e-4, atol=1e-5)
