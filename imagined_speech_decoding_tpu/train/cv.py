@@ -1,0 +1,214 @@
+"""Per-subject K-fold cross-validation — the fold/subject-vmapped engine.
+
+TPU re-design of ``finetune_per_subject_cv`` (``scripts/train_fast.py:
+68-265``): the reference trains 15 subjects x 5 folds x 200 epochs
+*sequentially* (75,000 optimizer steps of a ~0.2 M-param model, each
+step dominated by Python/Lightning overhead). Here every (subject, fold)
+pair is one slice of a stacked model axis and ALL of them train
+simultaneously inside one jitted program:
+
+  * fold splits come from sklearn ``KFold(shuffle=True, random_state=
+    seed)`` — split-for-split identical to the reference (``train_fast
+    .py:94,100``);
+  * the corpus is one flat device array; each model addresses its fold
+    through global index vectors;
+  * after training, best-fold selection per subject (max best-val-acc
+    over folds, reference ``:182-185``), official-test evaluation of the
+    selected model, and the full reference artifact tree.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..config import FASTConfig, TrainConfig
+from ..data.arrays import to_device
+from ..utils import green
+from . import artifacts
+from .checkpoint import save_state_dict, select_model
+from .engine import FitResult, ModelDef, fit_many, make_fit, predict
+from .metrics import confusion_matrix, f1_from_confusion
+
+
+def kfold_indices(
+    n: int, n_folds: int, seed: int, shuffle: bool = True
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """sklearn ``KFold`` splits — identical to the reference's folds."""
+    from sklearn.model_selection import KFold
+
+    kf = KFold(n_splits=n_folds, shuffle=shuffle, random_state=seed if shuffle else None)
+    return [(tr, va) for tr, va in kf.split(np.arange(n))]
+
+
+def build_cv_index_stack(
+    n_subjects: int, n_trials: int, n_folds: int, seed: int, shuffle: bool = True
+) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]]]:
+    """Global train/val index arrays for the (subject x fold) model stack.
+
+    Returns ``(train_idx (M, n_train), val_idx (M, n_val), meta)`` where
+    ``M = n_subjects * n_folds`` and ``meta[m] = (subject_i, fold_k)``.
+    Indices address the flattened ``(S * n_trials)`` trial axis.
+    Requires uniform folds (``n_trials % n_folds == 0`` — true for the
+    reference dataset: 350 = 5 x 70).
+    """
+    if n_trials % n_folds != 0:
+        raise ValueError(
+            f"n_trials={n_trials} not divisible by n_folds={n_folds}; "
+            "ragged folds are not supported by the stacked engine"
+        )
+    train_rows, val_rows, meta = [], [], []
+    for s in range(n_subjects):
+        folds = kfold_indices(n_trials, n_folds, seed, shuffle)
+        for k, (tr, va) in enumerate(folds):
+            train_rows.append(s * n_trials + tr)
+            val_rows.append(s * n_trials + va)
+            meta.append((s, k))
+    return np.stack(train_rows), np.stack(val_rows), meta
+
+
+def stacked_init(model: ModelDef, key: jax.Array, n_models: int):
+    """Initialize a stack of independent models (leading model axis)."""
+    keys = jax.random.split(key, n_models)
+    return jax.vmap(model.init)(keys)
+
+
+@dataclass
+class CVRunResult:
+    summary: pd.DataFrame  # Subject, Best_Val_Acc, Test_Acc, Test_F1
+    fit: FitResult  # stacked over (S*K) models
+    meta: List[Tuple[int, int]]
+    best_fold_per_subject: Dict[str, int]
+
+
+def train_per_subject_cv(
+    model: ModelDef,
+    tc: TrainConfig,
+    X: np.ndarray,  # (S, N, C, T) train+val pool per subject
+    Y: np.ndarray,  # (S, N)
+    subjects: Sequence[str],
+    n_classes: int,
+    test_per_subject: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]] = None,
+    save_dir: Optional[str] = None,
+    data_dtype=None,
+    verbose: bool = True,
+) -> CVRunResult:
+    """Run the full per-subject CV: train S*K models at once, select the
+    best fold per subject, evaluate on the official test set, and write
+    the reference artifact tree under ``save_dir``."""
+    s_count, n_trials = X.shape[:2]
+    assert s_count == len(subjects)
+    k = tc.n_folds
+    m_count = s_count * k
+
+    x_flat = to_device(X.reshape((-1,) + X.shape[2:]), dtype=data_dtype)
+    y_flat = to_device(Y.reshape(-1).astype(np.int32))
+
+    train_idx, val_idx, meta = build_cv_index_stack(
+        s_count, n_trials, k, tc.seed, tc.shuffle_folds
+    )
+    n_train, n_val = train_idx.shape[1], val_idx.shape[1]
+
+    params0, state0 = stacked_init(model, jax.random.PRNGKey(tc.seed), m_count)
+    fit = make_fit(
+        model.apply,
+        n_classes,
+        epochs=tc.max_epochs,
+        batch_size=tc.batch_size,
+        n_train=n_train,
+        n_val=n_val,
+        learning_rate=tc.learning_rate,
+        warmup_epochs=tc.warmup_epochs,
+        final_scale=tc.final_lr_scale,
+        weight_decay=tc.weight_decay,
+    )
+    fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), m_count)
+
+    run = jax.jit(lambda *a: fit_many(fit, *a))
+    res: FitResult = jax.block_until_ready(
+        run(fit_keys, params0, state0, jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat)
+    )
+
+    best_val = np.asarray(res.best_val_acc)  # (M,)
+    history = {h: np.asarray(v) for h, v in res.history.items()}  # (M, E)
+
+    subject_rows = []
+    global_pred, global_true = [], []
+    best_fold_per_subject: Dict[str, int] = {}
+
+    for si, sid in enumerate(subjects):
+        fold_ms = [si * k + ki for ki in range(k)]
+        fold_accs = best_val[fold_ms]
+        best_k = int(np.argmax(fold_accs))
+        best_m = fold_ms[best_k]
+        best_fold_per_subject[sid] = best_k
+
+        if save_dir:
+            sub_dir = os.path.join(save_dir, f"sub-{sid}")
+            for ki, mi in enumerate(fold_ms):
+                h = {name: history[name][mi] for name in ("loss", "acc", "val_loss", "val_acc")}
+                artifacts.save_history_csv(os.path.join(sub_dir, f"fold-{ki}_history.csv"), h)
+                artifacts.plot_learning_curves(
+                    os.path.join(sub_dir, f"fold-{ki}_curves.png"), h,
+                    title=f"Subject {sid} Fold {ki + 1}",
+                )
+            pd.DataFrame(
+                {"Fold": list(range(k)), "Best_Val_Acc": fold_accs}
+            ).to_csv(os.path.join(sub_dir, "fold_metrics.csv"), index=False)
+
+        best_params = select_model(res.best_params, best_m)
+        best_mstate = select_model(res.best_model_state, best_m)
+        if save_dir:
+            save_state_dict(
+                os.path.join(save_dir, f"sub-{sid}", "best_subject.npz"), best_params
+            )
+
+        test_acc, test_f1 = np.nan, np.nan
+        if test_per_subject and sid in test_per_subject:
+            x_test, y_test = test_per_subject[sid]
+            y_pred = predict(model.apply, best_params, best_mstate, jnp.asarray(x_test), tc.batch_size)
+            cm = confusion_matrix(jnp.asarray(y_pred), jnp.asarray(y_test.astype(np.int32)), n_classes)
+            test_acc = float(np.trace(np.asarray(cm)) / max(len(y_test), 1))
+            test_f1 = float(f1_from_confusion(cm))
+            global_pred.append(y_pred)
+            global_true.append(y_test.astype(int))
+            if save_dir:
+                artifacts.save_predictions_csv(
+                    os.path.join(save_dir, f"sub-{sid}", "test_predictions.csv"),
+                    y_pred, y_test.astype(int),
+                )
+        if verbose:
+            print(
+                f"Subject {sid}: best fold {best_k + 1} val_acc={fold_accs[best_k]:.4f}"
+                + (f" | test acc={green(f'{test_acc:.4f}')} f1={test_f1:.4f}"
+                   if not np.isnan(test_acc) else "")
+            )
+
+        subject_rows.append([sid, float(fold_accs[best_k]), test_acc, test_f1])
+
+    summary = pd.DataFrame(
+        subject_rows, columns=["Subject", "Best_Val_Acc", "Test_Acc", "Test_F1"]
+    )
+
+    if save_dir:
+        summary.to_csv(os.path.join(save_dir, "summary_per_subject.csv"), index=False)
+        if global_pred:
+            artifacts.save_predictions_csv(
+                os.path.join(save_dir, "global_test_predictions.csv"),
+                np.concatenate(global_pred), np.concatenate(global_true),
+            )
+        if not summary.empty:
+            artifacts.plot_subject_accuracy_bar(
+                os.path.join(save_dir, "global_subject_accuracy.png"),
+                summary["Subject"].tolist(), summary["Test_Acc"].tolist(),
+            )
+
+    return CVRunResult(
+        summary=summary, fit=res, meta=meta, best_fold_per_subject=best_fold_per_subject
+    )
