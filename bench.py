@@ -1,0 +1,154 @@
+"""Benchmark: EEG windows/sec/chip through the preprocess+train pipeline.
+
+Measures the production workload end-to-end on one chip:
+  1. jitted batched preprocessing (notch + 4-40 Hz Butterworth
+     zero-phase IIR) over the full-scale synthetic corpus
+     (15 subjects x 350 trials x 64 ch x 800 samples — the real
+     BCIC2020 Track #3 geometry);
+  2. the fold/subject-stacked CV training engine: 75 FAST models
+     (15 subjects x 5 folds, canonical ~0.2 M-param config) training
+     simultaneously inside one jitted scan, bf16 compute.
+
+Metric: sliding windows consumed per second per chip, where one trial
+contributes ``n_tokens`` = 5 windows per epoch pass (the unit of model
+compute). Baseline constant: the reference's measured full-batch
+training rate — 3.9 it/s x 280 trials x 5 windows/trial = 5,460
+windows/s on a CUDA GPU (notebooks/imagined-speech-fast-itay.ipynb cell
+39; the only in-repo throughput number — see BASELINE.md).
+
+Prints ONE JSON line to stdout: {"metric", "value", "unit",
+"vs_baseline"}. Progress goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_WINDOWS_PER_SEC = 3.9 * 280 * 5  # = 5460, see module docstring
+
+# Bench scale (real dataset geometry).
+N_SUBJECTS = 15
+N_TRIALS = 350
+N_FOLDS = 5
+BENCH_EPOCHS = 4  # measured epochs per timed run
+BATCH_SIZE = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from imagined_speech_decoding_tpu.config import FASTConfig
+    from imagined_speech_decoding_tpu.data.synthetic import synthetic_trials_device
+    from imagined_speech_decoding_tpu.models.api import make_fast_model
+    from imagined_speech_decoding_tpu.ops import butter_sos, filtfilt, notch_ba, sosfiltfilt
+    from imagined_speech_decoding_tpu.train.cv import build_cv_index_stack, stacked_init
+    from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
+
+    log("bench: device =", jax.devices()[0])
+    cfg = FASTConfig.default()
+    compute_dtype = jnp.bfloat16
+    model = make_fast_model(
+        cfg, compute_dtype=compute_dtype, remat=True, head_micro_batch=64
+    )
+
+    t0 = time.perf_counter()
+    x_flat, y_flat = jax.jit(
+        lambda k: synthetic_trials_device(
+            k, N_SUBJECTS * N_TRIALS, cfg.n_channels, cfg.seq_len, cfg.n_classes
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(x_flat)
+    log(f"bench: corpus generated on device in {time.perf_counter() - t0:.2f}s")
+
+    # ---- preprocessing: notch + bandpass over the whole corpus, jitted ----
+    nb, na = notch_ba(250.0, 60.0)
+    sos = butter_sos(250.0, 4.0, 40.0, order=4)
+
+    @jax.jit
+    def preprocess(x):
+        x = filtfilt(nb, na, x)
+        return sosfiltfilt(sos, x)
+
+    def sync(arr):
+        """Force completion via a scalar readback — block_until_ready does
+        not reliably block on the axon remote backend."""
+        return float(jnp.sum(arr[0, 0]))
+
+    t0 = time.perf_counter()
+    warm = preprocess(x_flat)  # compile + warmup
+    sync(warm)
+    log(f"bench: preprocess compile+run {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    x_flat = preprocess(x_flat)
+    sync(x_flat)
+    t_pre = time.perf_counter() - t0
+    pre_windows = x_flat.shape[0] * cfg.n_tokens
+    log(f"bench: preprocess steady-state {t_pre:.3f}s "
+        f"({pre_windows / max(t_pre, 1e-9):.0f} windows/s)")
+
+    # ---- training: 75-model stacked CV engine ----
+    m_count = N_SUBJECTS * N_FOLDS
+    train_idx, val_idx, _ = build_cv_index_stack(N_SUBJECTS, N_TRIALS, N_FOLDS, seed=42)
+    n_train, n_val = train_idx.shape[1], val_idx.shape[1]
+
+    params0, state0 = stacked_init(model, jax.random.PRNGKey(0), m_count)
+    keys = jax.random.split(jax.random.PRNGKey(1), m_count)
+    tidx, vidx = jnp.asarray(train_idx), jnp.asarray(val_idx)
+
+    fit = make_fit(
+        model.apply, cfg.n_classes, epochs=BENCH_EPOCHS, batch_size=BATCH_SIZE,
+        n_train=n_train, n_val=n_val, learning_rate=5e-4,
+        warmup_epochs=min(10, BENCH_EPOCHS), data_dtype=compute_dtype,
+    )
+    run = jax.jit(lambda *a: fit_many(fit, *a))
+
+    t0 = time.perf_counter()
+    warm = run(keys, params0, state0, tidx, vidx, x_flat, y_flat)
+    float(jnp.sum(warm.best_val_acc))
+    log(f"bench: train compile+first-run {time.perf_counter() - t0:.2f}s "
+        f"({m_count} models x {BENCH_EPOCHS} epochs)")
+    t0 = time.perf_counter()
+    res = run(keys, params0, state0, tidx, vidx, x_flat, y_flat)
+    float(jnp.sum(res.best_val_acc))
+    t_train = time.perf_counter() - t0
+
+    # Windows consumed: train pass + val pass per epoch, per model.
+    train_windows = m_count * BENCH_EPOCHS * (n_train + n_val) * cfg.n_tokens
+    log(f"bench: train steady-state {t_train:.3f}s "
+        f"({train_windows / max(t_train, 1e-9):.0f} windows/s)")
+
+    total_windows = pre_windows + train_windows
+    total_time = t_pre + t_train
+    value = total_windows / total_time
+
+    result = {
+        "metric": "eeg_windows_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "windows/s/chip",
+        "vs_baseline": round(value / REFERENCE_WINDOWS_PER_SEC, 2),
+        "detail": {
+            "preprocess_s": round(t_pre, 3),
+            "train_s": round(t_train, 3),
+            "models": m_count,
+            "epochs": BENCH_EPOCHS,
+            "train_windows_per_s": round(train_windows / max(t_train, 1e-9), 1),
+            "final_train_acc_mean": round(
+                float(np.mean(np.asarray(res.history["acc"][:, -1]))), 4
+            ),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

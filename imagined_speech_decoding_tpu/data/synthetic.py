@@ -60,6 +60,41 @@ def synthetic_trials(
     return x, y
 
 
+def synthetic_trials_device(
+    key,
+    n_trials: int,
+    n_channels: int = 64,
+    n_samples: int = TARGET_TIMEPOINTS,
+    n_classes: int = 5,
+    sfreq: float = SFREQ,
+    snr: float = 0.6,
+    dtype=None,
+):
+    """Device-side (jit-able) synthetic EEG: same class-conditional
+    structure as ``synthetic_trials`` but generated with ``jax.random``
+    on the accelerator — full-corpus generation in milliseconds (the
+    host-numpy path needs minutes for billions of gaussians).
+
+    Returns ``(x (N, C, T), y (N,))`` jax arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kf, km, ky, kx, kp = jax.random.split(key, 5)
+    dtype = dtype or jnp.float32
+    freqs = 4.0 + 26.0 * jax.random.uniform(kf, (n_classes, 3))
+    mixing = jax.random.normal(km, (n_classes, 3, n_channels), dtype)
+    y = jax.random.randint(ky, (n_trials,), 0, n_classes)
+    x = jax.random.normal(kx, (n_trials, n_channels, n_samples), dtype)
+    phases = jax.random.uniform(kp, (n_trials, 3), minval=0.0, maxval=2 * np.pi)
+    t = jnp.arange(n_samples) / sfreq
+    src = jnp.sin(
+        2 * np.pi * freqs[y][:, :, None] * t[None, None, :] + phases[:, :, None]
+    ).astype(dtype)
+    sig = jnp.einsum("nst,nsc->nct", src, mixing[y])
+    return x + snr * sig, y.astype(jnp.int32)
+
+
 def synthetic_corpus(
     seed: int,
     n_subjects: int = 15,

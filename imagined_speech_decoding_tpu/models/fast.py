@@ -108,12 +108,21 @@ def fast_forward_head(
     step_override: Optional[int] = None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
+    head_micro_batch: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """Tokenize + encode: ``(B, C, T) -> (B, N, Z, F)``.
 
     Reference ``forward_head`` (fast.py:242-252): unfold into overlapping
     windows, flatten windows into the batch, run the zone encoders.
     ``step_override`` densifies tokens at inference (static arg).
+
+    ``head_micro_batch``: process the flattened ``B*N`` window axis in
+    sequential chunks via a differentiable ``lax.map`` — caps peak
+    activation memory at one chunk's conv chain (the lever, together
+    with ``remat``, that fits ~75 stacked models per chip). Requires a
+    stateless, dropout-free head (the default ``Conv4Layers``) and
+    ``(B*N) % micro_batch == 0``; otherwise the unchunked path is used.
     """
     layout = zone_layout(cfg.electrodes, cfg.zone_dict)
     step = step_override if step_override is not None else cfg.slide_step
@@ -123,9 +132,34 @@ def fast_forward_head(
     n = w.shape[2]
     w = jnp.moveaxis(w, 2, 1).reshape(b * n, x.shape[1], cfg.window_len)  # (B*N, C, W)
     xz, zmask = zone_gather(w, layout.indices, layout.mask)  # (B*N, Z, C_max, W)
-    feat, new_head_state = head_apply(
-        cfg.head, params["head"], state["head"], xz, zmask, train=train, rng=rng
-    )  # (B*N, Z, F)
+
+    from .heads import get_head
+
+    enc = get_head(cfg.head)
+    stateless = not jax.tree.leaves(state["head"])
+    if (
+        head_micro_batch
+        and stateless
+        and not enc.stochastic  # head ignores rng → chunks need no keys
+        and (b * n) % head_micro_batch == 0
+        and (b * n) > head_micro_batch
+    ):
+        chunks = xz.reshape(b * n // head_micro_batch, head_micro_batch, *xz.shape[1:])
+
+        def one_chunk(ch):
+            f, _ = head_apply(
+                cfg.head, params["head"], state["head"], ch, zmask,
+                train=train, rng=None, remat=remat,
+            )
+            return f
+
+        feat = jax.lax.map(one_chunk, chunks).reshape(b * n, layout.n_zones, cfg.dim_cnn)
+        new_head_state = state["head"]
+    else:
+        feat, new_head_state = head_apply(
+            cfg.head, params["head"], state["head"], xz, zmask, train=train, rng=rng,
+            remat=remat,
+        )  # (B*N, Z, F)
     feat = feat.reshape(b, n, layout.n_zones, cfg.dim_cnn)
     return feat, {"head": new_head_state}
 
@@ -194,6 +228,8 @@ def fast_apply(
     forward_mode: str = "default",
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
+    head_micro_batch: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """Full forward pass with the reference's 3 modes (fast.py:270-284).
 
@@ -201,18 +237,27 @@ def fast_apply(
     """
     r_head, r_tr = nn.split_rng(rng, 2)
     if forward_mode == "default":
-        feat, new_state = fast_forward_head(params, state, x, cfg, train=train, rng=r_head)
+        feat, new_state = fast_forward_head(
+            params, state, x, cfg, train=train, rng=r_head, remat=remat,
+            head_micro_batch=head_micro_batch,
+        )
         logits = fast_forward_transformer(params, feat, cfg, train=train, rng=r_tr)
         return logits, new_state
     if forward_mode == "train_head":
-        feat, new_state = fast_forward_head(params, state, x, cfg, train=train, rng=r_head)
+        feat, new_state = fast_forward_head(
+            params, state, x, cfg, train=train, rng=r_head, remat=remat,
+            head_micro_batch=head_micro_batch,
+        )
         b, n = feat.shape[:2]
         h = feat.reshape(b, n, -1)
         tokens = jax.nn.gelu(nn.linear(params["input_layer"], h), approximate=False)
         logits = nn.linear(params["last_layer"], tokens).mean(axis=1)
         return logits, new_state
     if forward_mode == "train_transformer":
-        feat, new_state = fast_forward_head(params, state, x, cfg, train=train, rng=r_head)
+        feat, new_state = fast_forward_head(
+            params, state, x, cfg, train=train, rng=r_head, remat=remat,
+            head_micro_batch=head_micro_batch,
+        )
         feat = jax.lax.stop_gradient(feat)  # frozen feature extractor
         logits = fast_forward_transformer(params, feat, cfg, train=train, rng=r_tr)
         return logits, new_state

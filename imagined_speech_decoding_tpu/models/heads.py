@@ -37,6 +37,7 @@ from . import modules as nn
 class ZoneEncoder(NamedTuple):
     init: Callable
     apply: Callable
+    stochastic: bool = True  # whether apply() consumes rng (dropout)
 
 
 def _mask_rows(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -64,13 +65,42 @@ def conv4layers_init(key, c_max: int, dim: int = 32, window_len: int = 250, dtyp
     return params, {}
 
 
+def _fuse_temporal_spatial(w_t, b_t, w_s, mask):
+    """Compose temporal conv (+bias) → channel-mask → spatial conv into ONE
+    conv kernel + bias.
+
+    ``w_t (F, 1, 1, K)`` temporal, ``b_t (F,)`` its bias, ``w_s (O, F,
+    C, 1)`` spatial, ``mask (C,)``. The chain is linear, so::
+
+        spatial(mask(temporal(x)))[o, t]
+          = Σ_c Σ_k (Σ_f w_s[o,f,c] w_t[f,k]) x[c, t+k]
+            + Σ_{c: mask} Σ_f w_s[o,f,c] b_t[f]
+
+    i.e. one ``(O, 1, C, K)`` conv with bias. This is the memory-critical
+    rewrite: the naive sequence materializes a ``(B, F, C_max, T)``
+    activation (the largest tensor in the network — tens of GB across the
+    stacked models); the fused kernel never creates it, and does ~7x
+    fewer FLOPs. Exact-equivalence is covered by the padded-vs-ragged
+    head tests.
+    """
+    wt = w_t[:, 0, 0, :]  # (F, K)
+    ws = w_s[:, :, :, 0]  # (O, F, C)
+    w = jnp.einsum("ofc,fk->ock", ws, wt)[:, None, :, :]  # (O, 1, C, K)
+    b = jnp.einsum("ofc,c,f->o", ws, mask.astype(ws.dtype), b_t)
+    return w, b
+
+
 def conv4layers_apply(params, state, x, mask, *, train=False, rng=None):
     """4-layer CNN: temporal(1,5)+bias → spatial(C,1) → 2x temporal(1,5)
-    → GELU → mean over time. ``x (B, C_max, T) -> (B, dim)``."""
+    → GELU → mean over time. ``x (B, C_max, T) -> (B, dim)``.
+
+    The first two (purely linear) convs run as one fused kernel — see
+    ``_fuse_temporal_spatial``."""
     h = x[:, None, :, :]  # (B, 1, C, T)
-    h = nn.conv2d(params["cnn1"], h)  # bias writes into padded rows...
-    h = _mask_rows(h, mask)  # ...so re-zero them before the spatial conv
-    h = nn.conv2d(params["cnn2"], h)  # (B, dim, 1, T-4)
+    w12, b12 = _fuse_temporal_spatial(
+        params["cnn1"]["w"], params["cnn1"]["b"], params["cnn2"]["w"], mask
+    )
+    h = nn.conv2d({"w": w12, "b": b12}, h)  # (B, dim, 1, T-4)
     h = nn.conv2d(params["cnn3"], h, padding=[(0, 0), (2, 2)])
     h = nn.conv2d(params["cnn4"], h, padding=[(0, 0), (2, 2)])
     h = jax.nn.gelu(h, approximate=False)
@@ -206,9 +236,12 @@ def headconv_paper_init(key, c_max: int, feature_dim: int = 32, window_len: int 
 
 def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None):
     h = x[:, None, :, :]
-    h = nn.conv2d(params["cnn1_t"], h)  # biased → pollutes padded rows
-    h = _mask_rows(h, mask)
-    h = nn.conv2d(params["cnn1_s"], h)  # (B, F1, 1, T-2)
+    # temporal+bias → mask → spatial fused into one conv (see
+    # _fuse_temporal_spatial) to avoid the (B, F1, C_max, T) intermediate.
+    w12, b12 = _fuse_temporal_spatial(
+        params["cnn1_t"]["w"], params["cnn1_t"]["b"], params["cnn1_s"]["w"], mask
+    )
+    h = nn.conv2d({"w": w12, "b": b12}, h)  # (B, F1, 1, T-2)
     new_state = {}
     h, new_state["norm1"] = batch_norm(h, params["norm1"], state["norm1"], train=train)
     h = jax.nn.gelu(h, approximate=False)
@@ -228,10 +261,10 @@ def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None):
 # ---------------------------------------------------------------------------
 
 HEAD_REGISTRY: Dict[str, ZoneEncoder] = {
-    "Conv4Layers": ZoneEncoder(conv4layers_init, conv4layers_apply),
+    "Conv4Layers": ZoneEncoder(conv4layers_init, conv4layers_apply, stochastic=False),
     "CVBlock": ZoneEncoder(cvblock_init, cvblock_apply),
     "EEGNet_Encoder": ZoneEncoder(eegnet_encoder_init, eegnet_encoder_apply),
-    "HeadConv_Paper_Version": ZoneEncoder(headconv_paper_init, headconv_paper_apply),
+    "HeadConv_Paper_Version": ZoneEncoder(headconv_paper_init, headconv_paper_apply, stochastic=False),
 }
 
 
@@ -257,18 +290,30 @@ def head_init(key, head_name: str, n_zones: int, c_max: int, feature_dim: int,
     return params, state
 
 
-def head_apply(head_name: str, params, state, x_zones, zone_mask, *, train=False, rng=None):
+def head_apply(
+    head_name: str, params, state, x_zones, zone_mask, *, train=False, rng=None,
+    remat: bool = False,
+):
     """Apply the zone-batched head.
 
     ``x_zones (B, Z, C_max, T)`` (padded rows pre-zeroed), ``zone_mask
     (Z, C_max)`` → features ``(B, Z, F)`` + new stacked state. One
     ``vmap`` over the zone axis maps per-zone params onto per-zone data.
+
+    ``remat=True`` wraps the encoder in ``jax.checkpoint``: backward
+    recomputes the conv activations instead of storing them — the
+    memory lever that lets ~75 stacked models train concurrently in one
+    chip's HBM (the per-stage conv activations are the largest tensors
+    in the program; the recompute is bandwidth-cheap).
     """
     enc = get_head(head_name)
     rngs = None if rng is None else jax.random.split(rng, x_zones.shape[1])
 
     def one_zone(p, s, xz, mz, rz):
         return enc.apply(p, s, xz, mz, train=train, rng=rz)
+
+    if remat:
+        one_zone = jax.checkpoint(one_zone)
 
     feat, new_state = jax.vmap(
         one_zone,

@@ -23,10 +23,10 @@ def cosine_scheduler(
     start_warmup_value: float = 0.0,
 ) -> np.ndarray:
     """Per-step value table of length ``epochs * niter_per_ep``."""
-    warmup_iters = warmup_epochs * niter_per_ep
+    warmup_iters = min(warmup_epochs * niter_per_ep, epochs * niter_per_ep)
     warmup = (
         np.linspace(start_warmup_value, base_value, warmup_iters)
-        if warmup_epochs > 0
+        if warmup_iters > 0
         else np.array([])
     )
     n = epochs * niter_per_ep - warmup_iters

@@ -1,0 +1,228 @@
+"""Training-layer tests: schedule properties, metric parity with sklearn,
+engine learning behavior, best-checkpoint semantics, checkpoint
+round-trips, KFold index parity. Mirrors the reference tests/test_train.py
+strata plus the vmapped-engine additions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagined_speech_decoding_tpu.config import FASTConfig
+from imagined_speech_decoding_tpu.data import synthetic_trials
+from imagined_speech_decoding_tpu.models.api import make_fast_model
+from imagined_speech_decoding_tpu.train import (
+    cosine_scheduler,
+    cross_entropy,
+    f1_from_confusion,
+    confusion_matrix,
+    fit_many,
+    load_state_dict,
+    macro_f1,
+    make_fit,
+    predict,
+    save_state_dict,
+    ttest_vs_chance,
+    warmup_cosine_lr,
+)
+from imagined_speech_decoding_tpu.train.cv import build_cv_index_stack, kfold_indices, stacked_init
+
+
+class TestCosineScheduler:
+    def test_length(self):
+        s = cosine_scheduler(1.0, 0.1, epochs=200, niter_per_ep=5, warmup_epochs=10)
+        assert len(s) == 1000
+
+    def test_warmup_linear(self):
+        s = cosine_scheduler(1.0, 0.1, 20, 10, warmup_epochs=5)
+        assert s[0] == 0.0
+        np.testing.assert_allclose(np.diff(s[:50]), s[1] - s[0], rtol=1e-6)
+        np.testing.assert_allclose(s[49], 1.0, rtol=1e-2)
+
+    def test_endpoint(self):
+        s = cosine_scheduler(1.0, 0.1, 100, 5, warmup_epochs=10)
+        np.testing.assert_allclose(s[-1], 0.1, atol=1e-4)
+
+    def test_monotone_decay_after_warmup(self):
+        s = cosine_scheduler(1.0, 0.1, 100, 5, warmup_epochs=10)
+        post = s[50:]
+        assert (np.diff(post) <= 1e-9).all()
+
+    def test_warmup_clamped(self):
+        s = cosine_scheduler(1.0, 0.1, 3, 4, warmup_epochs=10)
+        assert len(s) == 12
+
+    def test_lr_fn(self):
+        f = warmup_cosine_lr(5e-4, epochs=10, niter_per_ep=5, warmup_epochs=2)
+        assert float(f(0)) == 0.0
+        assert float(f(10)) == pytest.approx(5e-4, rel=1e-3)
+        assert float(f(49)) == pytest.approx(5e-5, rel=2e-2)
+        assert float(f(1000)) == float(f(49))  # clamps past the table
+
+
+class TestMetrics:
+    def test_cross_entropy_matches_manual(self):
+        logits = jnp.asarray([[2.0, 0.0, 0.0], [0.0, 3.0, 0.0]])
+        y = jnp.asarray([0, 1])
+        ce = float(cross_entropy(logits, y))
+        expected = -np.mean(
+            [np.log(np.exp(2) / (np.exp(2) + 2)), np.log(np.exp(3) / (np.exp(3) + 2))]
+        )
+        assert ce == pytest.approx(expected, rel=1e-5)
+
+    def test_weighted_ce_ignores_padding(self):
+        logits = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [9.0, 0.0]])
+        y = jnp.asarray([0, 1, 1])
+        w = jnp.asarray([1.0, 1.0, 0.0])
+        ce_w = float(cross_entropy(logits, y, w))
+        ce_2 = float(cross_entropy(logits[:2], y[:2]))
+        assert ce_w == pytest.approx(ce_2, rel=1e-6)
+
+    def test_macro_f1_matches_sklearn(self):
+        from sklearn.metrics import f1_score
+
+        rng = np.random.default_rng(0)
+        y_true = rng.integers(0, 5, 200)
+        y_pred = rng.integers(0, 5, 200)
+        ours = float(
+            f1_from_confusion(
+                confusion_matrix(jnp.asarray(y_pred), jnp.asarray(y_true), 5)
+            )
+        )
+        ref = f1_score(y_true, y_pred, average="macro")
+        assert ours == pytest.approx(ref, rel=1e-5)
+
+    def test_macro_f1_from_logits(self):
+        logits = jnp.asarray([[2.0, 0.0], [0.0, 2.0], [2.0, 0.0], [2.0, 0.0]])
+        y = jnp.asarray([0, 1, 1, 0])
+        from sklearn.metrics import f1_score
+
+        ref = f1_score([0, 1, 1, 0], [0, 1, 0, 0], average="macro")
+        assert float(macro_f1(logits, y, 2)) == pytest.approx(ref, rel=1e-5)
+
+    def test_ttest_vs_chance_matches_scipy(self):
+        accs = np.array([0.3, 0.4, 0.35, 0.5, 0.45])
+        t, p = ttest_vs_chance(accs, 0.2)
+        from scipy import stats
+
+        t_ref, p2 = stats.ttest_1samp(accs, 0.2)
+        assert t == pytest.approx(t_ref)
+        assert p == pytest.approx(p2 / 2)
+
+
+class TestKFold:
+    def test_matches_sklearn_reference_semantics(self):
+        from sklearn.model_selection import KFold
+
+        folds = kfold_indices(350, 5, seed=42)
+        kf = KFold(n_splits=5, shuffle=True, random_state=42)
+        ref = list(kf.split(np.arange(350)))
+        for (tr, va), (rtr, rva) in zip(folds, ref):
+            np.testing.assert_array_equal(tr, rtr)
+            np.testing.assert_array_equal(va, rva)
+
+    def test_build_cv_index_stack(self):
+        tidx, vidx, meta = build_cv_index_stack(3, 30, 5, seed=0)
+        assert tidx.shape == (15, 24) and vidx.shape == (15, 6)
+        assert meta[0] == (0, 0) and meta[-1] == (2, 4)
+        # fold indices land inside each subject's global range
+        for m, (s, k) in enumerate(meta):
+            assert tidx[m].min() >= s * 30 and tidx[m].max() < (s + 1) * 30
+            combined = np.sort(np.concatenate([tidx[m], vidx[m]]))
+            np.testing.assert_array_equal(combined, np.arange(s * 30, (s + 1) * 30))
+
+    def test_non_divisible_raises(self):
+        with pytest.raises(ValueError):
+            build_cv_index_stack(1, 31, 5, seed=0)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(request):
+    cfg = request.getfixturevalue("small_config")
+    model = make_fast_model(cfg)
+    x, y = synthetic_trials(0, 60, n_channels=8, n_samples=200, snr=2.0)
+    X = jnp.asarray(x)
+    Y = jnp.asarray(y.astype(np.int32))
+    return cfg, model, X, Y
+
+
+EPOCHS = 25
+
+
+@pytest.fixture(scope="module")
+def fitted(tiny_setup):
+    """One 2-model stacked training run shared by the engine tests."""
+    cfg, model, X, Y = tiny_setup
+    n_train, n_val = 40, 20
+    fit = make_fit(
+        model.apply, cfg.n_classes, epochs=EPOCHS, batch_size=16,
+        n_train=n_train, n_val=n_val, learning_rate=2e-3, warmup_epochs=2,
+    )
+    rng = np.random.default_rng(0)
+    perms = np.stack([rng.permutation(60) for _ in range(2)])
+    tidx = jnp.asarray(perms[:, :n_train])
+    vidx = jnp.asarray(perms[:, n_train:])
+    params0, state0 = stacked_init(model, jax.random.PRNGKey(1), 2)
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    res = jax.jit(lambda *a: fit_many(fit, *a))(keys, params0, state0, tidx, vidx, X, Y)
+    return jax.block_until_ready(res)
+
+
+class TestEngine:
+    def test_learns_synthetic(self, fitted):
+        final_acc = np.asarray(fitted.history["acc"][:, -1])
+        assert (final_acc > 0.5).all(), f"models failed to learn: {final_acc}"
+
+    def test_history_shapes(self, fitted):
+        for k in ("loss", "acc", "f1", "val_loss", "val_acc", "val_f1"):
+            assert fitted.history[k].shape == (2, EPOCHS)
+
+    def test_best_checkpoint_semantics(self, fitted):
+        va = np.asarray(fitted.history["val_acc"], dtype=np.float64)
+        best_acc = np.asarray(fitted.best_val_acc)
+        best_ep = np.asarray(fitted.best_epoch)
+        for mi in range(va.shape[0]):
+            assert best_acc[mi] == pytest.approx(va[mi].max(), abs=1e-6)
+            # first epoch achieving the max (strictly-greater updates)
+            assert best_ep[mi] == int(np.argmax(va[mi] >= va[mi].max()))
+
+    def test_models_independent(self, fitted):
+        """Stacked models with different seeds follow different trajectories."""
+        l0 = np.asarray(fitted.history["loss"][0])
+        l1 = np.asarray(fitted.history["loss"][1])
+        assert not np.allclose(l0, l1)
+
+    def test_predict_shapes(self, tiny_setup):
+        cfg, model, X, Y = tiny_setup
+        params, state = model.init(jax.random.PRNGKey(0))
+        preds = predict(model.apply, params, state, X[:50], batch_size=16)
+        assert preds.shape == (50,)
+        assert preds.max() < cfg.n_classes
+
+
+class TestCheckpoint:
+    def test_state_dict_round_trip(self, small_config, tmp_dir):
+        model = make_fast_model(small_config)
+        params, state = model.init(jax.random.PRNGKey(0))
+        path = save_state_dict(f"{tmp_dir}/w.npz", params)
+        params2, _ = model.init(jax.random.PRNGKey(1))
+        restored = load_state_dict(path, params2)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_prefix_stripping(self, tmp_dir):
+        tree = {"lin": {"w": jnp.ones((2, 2))}}
+        import numpy as _np
+
+        _np.savez(f"{tmp_dir}/p.npz", **{"model.lin.w": _np.zeros((2, 2), _np.float32)})
+        restored = load_state_dict(f"{tmp_dir}/p.npz", tree)
+        np.testing.assert_array_equal(np.asarray(restored["lin"]["w"]), np.zeros((2, 2)))
+
+    def test_shape_mismatch_raises(self, tmp_dir):
+        tree = {"w": jnp.ones((2, 2))}
+        import numpy as _np
+
+        _np.savez(f"{tmp_dir}/bad.npz", w=_np.zeros((3, 3), _np.float32))
+        with pytest.raises(ValueError):
+            load_state_dict(f"{tmp_dir}/bad.npz", tree)
