@@ -1,0 +1,137 @@
+"""Self-contained scalp topographic maps (no MNE dependency).
+
+The reference renders topomaps through MNE's ``standard_1020`` montage
+(``scripts/explain_fast.py:154-206``). MNE is not available in this
+environment, so electrode positions come from a built-in schematic
+10-10 layout (top-down head view, unit-circle head, nose up): rows are
+placed front-to-back, lateral offset scales with the row's circle
+chord, and the below-circle ring (FT9/TP9/PO9 and right homologues)
+sits outside the head outline — the familiar EEG topomap geometry.
+Interpolation is SciPy ``griddata`` (cubic) masked to the head disk.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+# Front-to-back row coordinate (y, nose at +1) per 10-10 row prefix.
+_ROW_Y: Dict[str, float] = {
+    "Fp": 0.85, "AF": 0.68, "F": 0.50, "FT": 0.28, "FC": 0.25,
+    "T": 0.0, "C": 0.0, "TP": -0.28, "CP": -0.25, "P": -0.50,
+    "PO": -0.68, "O": -0.85,
+}
+# Lateral fraction of the row chord per column level (1/2 → innermost).
+_COL_FRAC = {1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0, 5: 1.25}
+
+_NAME_RE = re.compile(r"^(Fp|AF|FT|FC|TP|CP|PO|F|T|C|P|O)(z|\d+)$")
+
+
+def electrode_position(name: str) -> Tuple[float, float]:
+    """Schematic (x, y) position of a 10-10 electrode, head radius 1."""
+    m = _NAME_RE.match(name)
+    if not m:
+        raise ValueError(f"cannot parse electrode name {name!r}")
+    row, col = m.group(1), m.group(2)
+    y = _ROW_Y[row]
+    chord = math.sqrt(max(1.0 - y * y, 0.05))
+    if col == "z":
+        return 0.0, y
+    n = int(col)
+    side = -1.0 if n % 2 == 1 else 1.0  # odd = left
+    level = (n + 1) // 2
+    if row in ("T",):  # T7/T8 sit on the circle at the central row
+        frac = 1.0
+    elif row in ("FT", "TP") and level <= 4:
+        frac = 1.0  # FT7/8, TP7/8 on the circle
+    else:
+        frac = _COL_FRAC.get(level, 1.25)
+    x = side * chord * min(frac, 1.25)
+    if level == 5:  # 9/10 ring lies below/outside the head circle
+        r = math.hypot(x, y)
+        x, y = x / r * 1.12, y / r * 1.12
+    return x, y
+
+
+def montage_positions(names: Sequence[str]) -> np.ndarray:
+    """(N, 2) positions for a list of electrode names."""
+    return np.array([electrode_position(n) for n in names])
+
+
+def plot_topomap(
+    values: np.ndarray,  # (C,)
+    names: Sequence[str],
+    ax: Optional[plt.Axes] = None,
+    cmap: str = "RdBu_r",
+    vlim: Optional[Tuple[float, float]] = None,
+    contours: int = 6,
+    show_names: bool = False,
+    title: str = "",
+):
+    """Render one scalp map; returns the matplotlib Axes."""
+    from scipy.interpolate import griddata
+
+    pos = montage_positions(names)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(4, 4))
+    if vlim is None:
+        m = float(np.nanmax(np.abs(values))) or 1.0
+        vlim = (-m, m)
+
+    grid = np.linspace(-1.15, 1.15, 128)
+    gx, gy = np.meshgrid(grid, grid)
+    gz = griddata(pos, np.asarray(values, float), (gx, gy), method="cubic")
+    mask = gx**2 + gy**2 > 1.0
+    gz = np.where(mask, np.nan, gz)
+
+    im = ax.imshow(
+        gz, extent=(-1.15, 1.15, -1.15, 1.15), origin="lower",
+        cmap=cmap, vmin=vlim[0], vmax=vlim[1],
+    )
+    if contours:
+        with np.errstate(invalid="ignore"):
+            try:
+                ax.contour(gx, gy, gz, contours, colors="k", linewidths=0.3, alpha=0.4)
+            except Exception:
+                pass  # flat maps have no contour levels
+
+    # head outline + nose + ears
+    theta = np.linspace(0, 2 * np.pi, 100)
+    ax.plot(np.cos(theta), np.sin(theta), "k", lw=1.5)
+    ax.plot([-0.08, 0, 0.08], [0.99, 1.12, 0.99], "k", lw=1.5)
+    for s in (-1, 1):
+        ear_t = np.linspace(-0.4, 0.4, 20)
+        ax.plot(s * (1.0 + 0.04 * np.cos(ear_t * np.pi)), ear_t * 0.35, "k", lw=1.0)
+
+    ax.scatter(pos[:, 0], pos[:, 1], s=6, c="k", zorder=3)
+    if show_names:
+        for (x, y), n in zip(pos, names):
+            ax.annotate(n, (x, y), fontsize=5, ha="center", va="bottom")
+    ax.set_xlim(-1.25, 1.25)
+    ax.set_ylim(-1.25, 1.25)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    if title:
+        ax.set_title(title, fontsize=10)
+    return ax, im
+
+
+def save_topomap(path: str, values: np.ndarray, names: Sequence[str], title: str = "", **kw) -> str:
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, ax = plt.subplots(figsize=(4.5, 4))
+    _, im = plot_topomap(values, names, ax=ax, title=title, **kw)
+    fig.colorbar(im, ax=ax, shrink=0.7)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

@@ -97,6 +97,7 @@ def train_per_subject_cv(
     test_per_subject: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]] = None,
     save_dir: Optional[str] = None,
     data_dtype=None,
+    warm_start: Optional[Tuple] = None,  # (params0, state0) stacked over S*K
     verbose: bool = True,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
@@ -115,7 +116,10 @@ def train_per_subject_cv(
     )
     n_train, n_val = train_idx.shape[1], val_idx.shape[1]
 
-    params0, state0 = stacked_init(model, jax.random.PRNGKey(tc.seed), m_count)
+    if warm_start is not None:
+        params0, state0 = warm_start  # e.g. LOSO-pretrained (see train.loso)
+    else:
+        params0, state0 = stacked_init(model, jax.random.PRNGKey(tc.seed), m_count)
     fit = make_fit(
         model.apply,
         n_classes,

@@ -1,0 +1,151 @@
+"""Explainability tests: attribution correctness (completeness axiom,
+linear-model exactness), zone aggregation, topomap/plot smoke tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagined_speech_decoding_tpu.data import Electrodes, zone_layout
+from imagined_speech_decoding_tpu.explain import (
+    attribution_for_predictions,
+    electrode_position,
+    expected_gradients,
+    integrated_gradients,
+    montage_positions,
+    plot_attribution_heatmap,
+    plot_band_heatmap,
+    plot_class_topomaps,
+    plot_zone_importance,
+    plot_zone_time_heatmap,
+    save_topomap,
+    symmetric_vlim,
+    zone_importance,
+)
+from imagined_speech_decoding_tpu.models.api import make_fast_model
+
+
+def linear_model(w):
+    """A ModelDef-like apply for a known-linear scoring function."""
+
+    def apply(params, state, x, *, train=False, rng=None):
+        logits = jnp.einsum("bct,kct->bk", x, w)
+        return logits, state
+
+    return apply
+
+
+class TestIntegratedGradients:
+    def test_exact_for_linear_model(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(3, 4, 10)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(2, 4, 10)).astype(np.float32))
+        target = jnp.asarray([0, 2])
+        attr = integrated_gradients(linear_model(w), {}, {}, x, target, n_steps=8)
+        # For a linear model with zero baseline, IG == w_target * x exactly.
+        expected = np.asarray(w)[np.asarray(target)] * np.asarray(x)
+        np.testing.assert_allclose(np.asarray(attr), expected, rtol=1e-4, atol=1e-5)
+
+    def test_completeness(self, small_config, dummy_eeg_small):
+        model = make_fast_model(small_config)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(dummy_eeg_small[:2])
+        target = jnp.asarray([1, 3])
+        attr = integrated_gradients(model.apply, params, state, x, target, n_steps=256)
+        logits_x, _ = model.apply(params, state, x)
+        logits_0, _ = model.apply(params, state, jnp.zeros_like(x))
+        lhs = np.asarray(attr).sum(axis=(1, 2))
+        rhs = np.asarray(
+            jnp.take_along_axis(logits_x - logits_0, target[:, None], axis=-1)[:, 0]
+        )
+        np.testing.assert_allclose(lhs, rhs, rtol=0.05, atol=0.02)
+
+
+class TestExpectedGradients:
+    def test_shapes_and_finite(self, small_config, dummy_eeg_small):
+        model = make_fast_model(small_config)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(dummy_eeg_small[:2])
+        bg = jnp.asarray(dummy_eeg_small[2:])
+        attr = expected_gradients(
+            model.apply, params, state, x, bg, jnp.asarray([0, 1]),
+            jax.random.PRNGKey(1), n_samples=4,
+        )
+        assert attr.shape == x.shape
+        assert np.isfinite(np.asarray(attr)).all()
+
+    def test_for_predictions(self, small_config, dummy_eeg_small):
+        model = make_fast_model(small_config)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(dummy_eeg_small[:2])
+        bg = jnp.asarray(dummy_eeg_small[2:])
+        attr, preds = attribution_for_predictions(
+            model.apply, params, state, x, bg, jax.random.PRNGKey(1), n_samples=4
+        )
+        assert attr.shape == x.shape and preds.shape == (2,)
+
+
+class TestZoneImportance:
+    def test_aggregation(self):
+        zl = zone_layout()
+        attr = jnp.ones((2, 64, 10))
+        zi = zone_importance(attr, zl.indices, zl.mask)
+        assert zi.shape == (2, 8)
+        # all-ones attribution: zone importance = 10 * zone channel count
+        np.testing.assert_allclose(np.asarray(zi)[0], zl.counts * 10.0, rtol=1e-6)
+
+
+class TestTopomap:
+    def test_all_montage_electrodes_parse(self):
+        pos = montage_positions(Electrodes)
+        assert pos.shape == (64, 2)
+        # left/right symmetry of homologous pairs
+        x1, _ = electrode_position("C3")
+        x2, _ = electrode_position("C4")
+        assert x1 == -x2 and x1 < 0
+
+    def test_below_circle_ring(self):
+        for name in ("FT9", "TP10", "PO9"):
+            x, y = electrode_position(name)
+            assert np.hypot(x, y) > 1.0
+
+    def test_bad_name_raises(self):
+        with pytest.raises(ValueError):
+            electrode_position("XX9")
+
+    def test_save_topomap(self, tmp_dir):
+        vals = np.random.default_rng(0).normal(size=64)
+        path = save_topomap(f"{tmp_dir}/topo.png", vals, Electrodes, title="test")
+        assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+class TestPlots:
+    def test_symmetric_vlim(self):
+        lo, hi = symmetric_vlim(np.array([-5.0, 1.0, 3.0]), pct=100)
+        assert lo == -5.0 and hi == 5.0
+
+    def test_all_plot_writers(self, tmp_dir):
+        rng = np.random.default_rng(0)
+        zl = zone_layout()
+        paths = [
+            plot_attribution_heatmap(
+                f"{tmp_dir}/heat.png", rng.normal(size=(64, 100)), Electrodes
+            ),
+            plot_zone_importance(f"{tmp_dir}/zones.png", rng.normal(size=8), zl.names),
+            plot_class_topomaps(
+                f"{tmp_dir}/classes.png",
+                {f"c{i}": rng.normal(size=64) for i in range(3)},
+                Electrodes,
+            ),
+            plot_zone_time_heatmap(
+                f"{tmp_dir}/zt.png", rng.normal(size=(8, 100)), zl.names
+            ),
+            plot_band_heatmap(
+                f"{tmp_dir}/bands.png", rng.random((5, 20)),
+                ["Delta", "Theta", "Alpha", "Beta", "Gamma"], np.linspace(0, 3, 20),
+            ),
+        ]
+        for p in paths:
+            assert os.path.exists(p) and os.path.getsize(p) > 1000
