@@ -1,0 +1,144 @@
+"""Main training CLI: per-subject 5-fold CV finetune + official-test eval.
+
+Command-line parity with the reference entry point
+(``scripts/train_fast.py:268-312``): same flags, same YAML config
+schema, same result-artifact tree. Differences:
+
+  * all subject x fold models train simultaneously in one jitted program
+    (see ``train.cv``) — there is no ``--gpu`` device pinning; use
+    ``--synthetic`` to run the full pipeline without the private dataset;
+  * ``--loso-pretrain`` enables the deprecated-generation cross-subject
+    pretraining + warm-start (``deprecated/BCIC2020Track3_train.py:
+    158-249``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train FAST on BCI Competition 2020 Track #3 (TPU-native)"
+    )
+    p.add_argument("--config", type=str, default="configs/default.yaml")
+    p.add_argument("--epochs", type=int, default=None, help="Max training epochs")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--n_folds", type=int, default=None)
+    p.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
+    p.add_argument("--head", type=str, default=None)
+    p.add_argument("--data_folder", type=str, default="BCIC2020Track3")
+    p.add_argument("--excel_path", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="results/finetune_official/FAST")
+    p.add_argument("--loso-pretrain", action="store_true", dest="loso_pretrain")
+    p.add_argument("--loso-epochs", type=int, default=100)
+    p.add_argument("--remat", action="store_true", help="recompute head activations in bwd")
+    p.add_argument(
+        "--synthetic", type=int, default=0, metavar="N_SUBJECTS",
+        help="run on synthetic data with N subjects (no dataset needed)",
+    )
+    p.add_argument("--synthetic_trials", type=int, default=60)
+    return p
+
+
+def load_data(args):
+    from imagined_speech_decoding_tpu.data import (
+        SUBJECTS,
+        load_subject_train_val,
+        load_test_set_per_subject,
+        resolve_data_folder,
+        resolve_excel_path,
+        synthetic_corpus,
+    )
+
+    if args.synthetic:
+        s = args.synthetic
+        subjects = [f"{i + 1:02d}" for i in range(s)]
+        X, Y = synthetic_corpus(0, s, args.synthetic_trials, 64, 800)
+        test = {
+            sid: (X[i, : args.synthetic_trials // 3], Y[i, : args.synthetic_trials // 3])
+            for i, sid in enumerate(subjects)
+        }
+        return X, Y, subjects, test
+
+    base = resolve_data_folder(args.data_folder)
+    excel = resolve_excel_path(base, args.excel_path)
+    test = load_test_set_per_subject(base, excel)
+    xs, ys = [], []
+    for sid in SUBJECTS:
+        x, y = load_subject_train_val(base, sid)
+        xs.append(x)
+        ys.append(y)
+    return np.stack(xs), np.stack(ys), list(SUBJECTS), test
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from imagined_speech_decoding_tpu.config import load_config
+    from imagined_speech_decoding_tpu.models.api import make_fast_model
+    from imagined_speech_decoding_tpu.train.cv import train_per_subject_cv
+    from imagined_speech_decoding_tpu.utils import seed_all
+
+    overrides = {
+        k: v
+        for k, v in {
+            "max_epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "seed": args.seed,
+            "n_folds": args.n_folds,
+            "precision": args.precision,
+            "head": args.head,
+        }.items()
+        if v is not None
+    }
+    cfg = load_config(args.config if os.path.exists(args.config) else None, overrides)
+    seed_all(cfg.train.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    X, Y, subjects, test = load_data(args)
+    model = make_fast_model(
+        cfg.model, compute_dtype=cfg.train.compute_dtype, remat=args.remat
+    )
+
+    warm = None
+    if args.loso_pretrain:
+        from imagined_speech_decoding_tpu.train.cv import stacked_init
+        from imagined_speech_decoding_tpu.train.loso import (
+            pretrain_loso,
+            stack_pretrained_for_cv,
+        )
+
+        pretrained = pretrain_loso(
+            model, X, Y, subjects, cfg.model.n_classes,
+            save_dir=os.path.join(args.output_dir, "loso_pretrain"),
+            epochs=args.loso_epochs, batch_size=cfg.train.batch_size,
+            learning_rate=cfg.train.learning_rate, seed=cfg.train.seed,
+        )
+        params0 = stack_pretrained_for_cv(pretrained, cfg.train.n_folds)
+        _, state0 = stacked_init(
+            model, __import__("jax").random.PRNGKey(cfg.train.seed),
+            len(subjects) * cfg.train.n_folds,
+        )
+        warm = (params0, state0)
+
+    result = train_per_subject_cv(
+        model, cfg.train, X, Y, subjects, cfg.model.n_classes,
+        test_per_subject=test, save_dir=args.output_dir, warm_start=warm,
+    )
+
+    print("\n" + "=" * 60)
+    print("FINETUNE COMPLETE")
+    print(f"Summary saved to {args.output_dir}/summary_per_subject.csv")
+    print(result.summary.to_string(index=False))
+    print("=" * 60)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -61,16 +61,22 @@ def make_dp_train_step(
         # dropout masks differ (per-example randomness under DP).
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
-        def loss_fn(p):
+        def local_sum_loss(p):
+            # Differentiate the LOCAL weighted nll sum only — keeping the
+            # collective out of autodiff makes the gradient math explicit
+            # (psum's transpose is itself a psum, which would otherwise
+            # silently all-reduce inside backward).
             logits, new_ms = apply_fn(p, mstate, x, train=True, rng=rng)
-            num, den = _weighted_ce_sums(logits, y, w)
-            num = jax.lax.psum(num, axis_name)
-            den = jax.lax.psum(den, axis_name)
-            return num / jnp.maximum(den, 1.0), (logits, new_ms, den)
+            num, den_local = _weighted_ce_sums(logits, y, w)
+            return num, (logits, new_ms, den_local)
 
-        (loss, (logits, new_ms, den)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        # Grads of the psum'd mean are already partial sums — reduce them.
-        grads = jax.lax.psum(grads, axis_name)
+        (num, (logits, new_ms, den_local)), grads = jax.value_and_grad(
+            local_sum_loss, has_aux=True
+        )(params)
+        den = jnp.maximum(jax.lax.psum(den_local, axis_name), 1.0)
+        loss = jax.lax.psum(num, axis_name) / den
+        # grad of the global weighted mean = psum of local sum-grads / den
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis_name) / den, grads)
         # BN running stats: average the per-shard updates.
         new_ms = jax.tree.map(
             lambda a: jax.lax.pmean(a, axis_name) if jnp.issubdtype(a.dtype, jnp.floating) else a,

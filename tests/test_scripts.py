@@ -1,0 +1,96 @@
+"""CLI tests (mirrors reference tests/test_scripts.py strata): argument
+parsing, config resolution, benchmark aggregation over synthetic result
+trees, end-to-end synthetic runs of the training CLIs."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from imagined_speech_decoding_tpu.cli import benchmark as bench_cli
+from imagined_speech_decoding_tpu.cli import train_fast as train_cli
+from imagined_speech_decoding_tpu.train.artifacts import save_predictions_csv
+
+
+class TestArgParsing:
+    def test_train_fast_defaults(self):
+        args = train_cli.build_parser().parse_args([])
+        assert args.config == "configs/default.yaml"
+        assert args.output_dir.endswith("FAST")
+        assert args.synthetic == 0
+
+    def test_train_fast_overrides(self):
+        args = train_cli.build_parser().parse_args(
+            ["--epochs", "3", "--batch_size", "16", "--synthetic", "2"]
+        )
+        assert args.epochs == 3 and args.batch_size == 16 and args.synthetic == 2
+
+
+class TestBenchmarkAggregation:
+    def _make_tree(self, root, model, subjects, with_global=True):
+        rng = np.random.default_rng(0)
+        all_p, all_t = [], []
+        for sid in subjects:
+            t = rng.integers(0, 5, 50)
+            p = np.where(rng.random(50) < 0.6, t, rng.integers(0, 5, 50))
+            save_predictions_csv(
+                os.path.join(root, model, f"sub-{sid}", "test_predictions.csv"), p, t
+            )
+            all_p.append(p)
+            all_t.append(t)
+        if with_global:
+            save_predictions_csv(
+                os.path.join(root, model, "global_test_predictions.csv"),
+                np.concatenate(all_p), np.concatenate(all_t),
+            )
+
+    def test_process_results(self, tmp_dir):
+        self._make_tree(tmp_dir, "FAST", ["01", "02", "03"])
+        df, summary = bench_cli.process_results(tmp_dir, "FAST")
+        assert len(df) == 3
+        assert set(df.columns) == {"Subject", "Accuracy", "F1", "Precision", "Recall"}
+        assert 0.4 < summary["Acc_Mean"] < 0.95
+        assert summary["Global_Acc"] == pytest.approx(
+            np.average(df["Accuracy"]), abs=1e-9
+        )  # equal-sized subjects → global == mean
+        assert np.isfinite(summary["TTest_vs_Chance"])
+
+    def test_fallback_without_global(self, tmp_dir):
+        self._make_tree(tmp_dir, "M2", ["01", "02"], with_global=False)
+        df, summary = bench_cli.process_results(tmp_dir, "M2")
+        assert summary["Global_Acc"] == pytest.approx(df["Accuracy"].mean())
+
+    def test_missing_model_raises(self, tmp_dir):
+        with pytest.raises(FileNotFoundError):
+            bench_cli.process_results(tmp_dir, "NOPE")
+
+    def test_main_writes_summary(self, tmp_dir):
+        self._make_tree(tmp_dir, "FAST", ["01", "02"])
+        bench_cli.main(["--results_dir", tmp_dir])
+        assert os.path.exists(os.path.join(tmp_dir, "FAST_Subject_Metrics.csv"))
+        summary = pd.read_csv(os.path.join(tmp_dir, "Model_Summary.csv"))
+        assert summary.iloc[0]["Model"] == "FAST"
+
+
+class TestEndToEndSynthetic:
+    """Full CLI pipeline on synthetic data — the minimum end-to-end slice
+    (SURVEY §7 stage 5) exercised through the public entry point."""
+
+    def test_train_fast_synthetic(self, tmp_dir):
+        result = train_cli.main([
+            "--config", "nonexistent.yaml",
+            "--synthetic", "2", "--synthetic_trials", "30",
+            "--epochs", "3", "--batch_size", "10", "--n_folds", "3",
+            "--precision", "f32",
+            "--output_dir", tmp_dir,
+        ])
+        assert len(result.summary) == 2
+        assert os.path.exists(os.path.join(tmp_dir, "summary_per_subject.csv"))
+        assert os.path.exists(os.path.join(tmp_dir, "global_test_predictions.csv"))
+        assert os.path.exists(os.path.join(tmp_dir, "sub-01", "best_subject.npz"))
+        # benchmark CLI consumes the tree the training CLI wrote
+        parent = os.path.dirname(tmp_dir)
+        model = os.path.basename(tmp_dir)
+        df, summary = bench_cli.process_results(parent, model)
+        assert len(df) == 2
