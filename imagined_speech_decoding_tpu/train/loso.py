@@ -52,8 +52,10 @@ def build_loso_index_stack(
             [np.arange(o * n, (o + 1) * n) for o in range(s_count) if o != s]
         )
         labels = y.reshape(-1)[pool]
+        # stratified split needs at least one val sample per class
+        n_val = max(int(round(val_frac * len(pool))), len(np.unique(labels)))
         tr, va = train_test_split(
-            pool, test_size=val_frac, random_state=seed, stratify=labels
+            pool, test_size=n_val, random_state=seed, stratify=labels
         )
         train_rows.append(np.sort(tr))
         val_rows.append(np.sort(va))
