@@ -49,7 +49,8 @@ def main():
     from imagined_speech_decoding_tpu.config import FASTConfig
     from imagined_speech_decoding_tpu.data.synthetic import synthetic_trials_device
     from imagined_speech_decoding_tpu.models.api import make_fast_model
-    from imagined_speech_decoding_tpu.ops import butter_sos, filtfilt, notch_ba, sosfiltfilt
+    from imagined_speech_decoding_tpu.ops import butter_sos, notch_ba
+    from imagined_speech_decoding_tpu.ops.pallas import sosfiltfilt_pallas
     from imagined_speech_decoding_tpu.train.cv import build_cv_index_stack, stacked_init
     from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
 
@@ -69,14 +70,17 @@ def main():
     jax.block_until_ready(x_flat)
     log(f"bench: corpus generated on device in {time.perf_counter() - t0:.2f}s")
 
-    # ---- preprocessing: notch + bandpass over the whole corpus, jitted ----
-    nb, na = notch_ba(250.0, 60.0)
+    # ---- preprocessing: notch + bandpass over the whole corpus, jitted
+    # (both zero-phase IIR passes run through the Pallas biquad kernel) ----
+    from scipy.signal import tf2sos
+
+    nsos = tf2sos(*notch_ba(250.0, 60.0))
     sos = butter_sos(250.0, 4.0, 40.0, order=4)
 
     @jax.jit
     def preprocess(x):
-        x = filtfilt(nb, na, x)
-        return sosfiltfilt(sos, x)
+        x = sosfiltfilt_pallas(nsos, x)
+        return sosfiltfilt_pallas(sos, x)
 
     def sync(arr):
         """Force completion via a scalar readback — block_until_ready does

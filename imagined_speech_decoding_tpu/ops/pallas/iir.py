@@ -1,0 +1,155 @@
+"""Pallas TPU kernel: biquad-cascade IIR filtering.
+
+The XLA path (``ops.filters.sosfilt``) expresses the recurrence as a
+``lax.scan`` over time — correct, but each scan iteration is a tiny
+VPU op with loop overhead, and the carried state round-trips through
+the loop machinery. This kernel keeps the section states in registers
+and streams the signal time-major through VMEM: one ``fori_loop`` over
+T per row-tile, all rows of the tile advancing in lock-step on the VPU.
+
+Layout: input is transposed to time-major ``(T, R)`` (R = flattened
+trials x channels) so each time step reads one contiguous ``(1, R_tile)``
+lane vector. The grid tiles R; T stays whole per program (the recurrence
+is sequential in T). Coefficients are static (baked into the kernel at
+trace time); the per-row initial state ``zi`` is a kernel input, so
+SciPy's ``sosfilt_zi`` seeding — and therefore exact ``sosfiltfilt``
+parity — carries over unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(sos: np.ndarray, t_len: int):
+    """Kernel body for a static SOS cascade and signal length.
+
+    Refs: ``x (T, Rt)``, ``zi (2S, Rt)``, ``out (T, Rt)``.
+    """
+    n_sections = sos.shape[0]
+    coef = [tuple(float(c) for c in row) for row in sos]  # static constants
+
+    def kernel(x_ref, zi_ref, out_ref):
+        def body(t, z):
+            out = x_ref[t, :]
+            new_z = []
+            for s in range(n_sections):
+                b0, b1, b2, _, a1, a2 = coef[s]
+                z0, z1 = z[2 * s], z[2 * s + 1]
+                y = b0 * out + z0
+                new_z.append(b1 * out - a1 * y + z1)
+                new_z.append(b2 * out - a2 * y)
+                out = y
+            out_ref[t, :] = out
+            return tuple(new_z)
+
+        z0 = tuple(zi_ref[i, :] for i in range(2 * n_sections))
+        jax.lax.fori_loop(0, t_len, body, z0)
+
+    return kernel
+
+
+def sosfilt_time_major(
+    sos: np.ndarray,
+    xt: jnp.ndarray,  # (T, R) time-major
+    zi: Optional[jnp.ndarray] = None,  # (2S, R)
+    row_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal biquad cascade over axis 0 of a time-major ``(T, R)`` array."""
+    sos = np.asarray(sos, np.float64)
+    sos = sos / sos[:, 3:4]
+    n_sections = sos.shape[0]
+    t_len, r = xt.shape
+    row_tile = min(_round_up(row_tile, _LANE), _round_up(max(r, _LANE), _LANE))
+    r_pad = _round_up(max(r, _LANE), row_tile)  # grid must cover every row
+    if zi is None:
+        zi = jnp.zeros((2 * n_sections, r), xt.dtype)
+    if r_pad != r:
+        xt = jnp.pad(xt, ((0, 0), (0, r_pad - r)))
+        zi = jnp.pad(zi, ((0, 0), (0, r_pad - r)))
+
+    kernel = _make_kernel(sos, t_len)
+    grid = (r_pad // row_tile,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t_len, r_pad), xt.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t_len, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (2 * n_sections, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (t_len, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(xt, zi.astype(xt.dtype))
+    return out[:, :r]
+
+
+def sosfilt_pallas(
+    sos: np.ndarray,
+    x: jnp.ndarray,
+    zi: Optional[jnp.ndarray] = None,  # (..., S, 2) scipy layout
+    row_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``ops.filters.sosfilt``: causal filtering over the
+    trailing axis of ``(..., T)``, batched, optional scipy-layout ``zi``."""
+    batch_shape = x.shape[:-1]
+    t_len = x.shape[-1]
+    n_sections = np.asarray(sos).shape[0]
+    xt = jnp.moveaxis(x.reshape((-1, t_len)), -1, 0)  # (T, R)
+    zf = None
+    if zi is not None:
+        zi_b = jnp.broadcast_to(zi, batch_shape + (n_sections, 2))
+        zf = jnp.moveaxis(zi_b.reshape((-1, n_sections * 2)), -1, 0)  # (2S, R)
+    yt = sosfilt_time_major(sos, xt, zi=zf, row_tile=row_tile, interpret=interpret)
+    return jnp.moveaxis(yt, 0, -1).reshape(batch_shape + (t_len,))
+
+
+def sosfiltfilt_pallas(
+    sos: np.ndarray,
+    x: jnp.ndarray,
+    padlen: Optional[int] = None,
+    row_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Zero-phase forward-backward filtering, SciPy ``sosfiltfilt``
+    semantics (odd extension + ``sosfilt_zi`` steady-state seeding),
+    with both passes running through the Pallas kernel."""
+    from scipy.signal import sosfilt_zi  # host-side, trace-time only
+
+    from ..filters import _odd_ext
+
+    sos = np.asarray(sos, np.float64)
+    if padlen is None:
+        ntaps = 2 * sos.shape[0] + 1
+        ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
+        padlen = 3 * int(ntaps)
+    zi = jnp.asarray(np.asarray(sosfilt_zi(sos), np.float64), x.dtype)  # (S, 2)
+
+    ext = _odd_ext(x, padlen)
+    y = sosfilt_pallas(sos, ext, zi=zi * ext[..., :1, None],
+                       row_tile=row_tile, interpret=interpret)
+    y = jnp.flip(y, axis=-1)
+    y = sosfilt_pallas(sos, y, zi=zi * y[..., :1, None],
+                       row_tile=row_tile, interpret=interpret)
+    y = jnp.flip(y, axis=-1)
+    return y[..., padlen : y.shape[-1] - padlen] if padlen > 0 else y
