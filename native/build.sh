@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build libeegcache.so next to this script.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -std=c++17 -fPIC -shared -pthread eegcache.cpp -o libeegcache.so
+echo "built $(pwd)/libeegcache.so"
