@@ -1,0 +1,116 @@
+"""Online decoding: one jitted graph from raw EEG window to posteriors.
+
+BASELINE.json north star: "Inference is a single jitted graph from raw
+EEG window to class posteriors so online decoding runs at fixed low
+latency." ``make_online_decoder`` fuses the whole serving chain into one
+XLA program with static shapes:
+
+    raw (B, C, T) -> [notch -> band-pass zero-phase IIR] -> FAST
+        -> softmax posteriors (B, K)
+
+The filters are the same SciPy-parity ops used in training
+(``ops.filters``); because coefficients are static the entire chain
+compiles once and replays at fixed latency. A streaming variant decodes
+a sliding window from a ring buffer of the latest samples.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FASTConfig
+from .data.constants import SFREQ
+
+
+def make_online_decoder(
+    apply_fn: Callable,
+    params,
+    state,
+    *,
+    sfreq: float = SFREQ,
+    notch_hz: Optional[float] = 60.0,
+    band: Optional[Tuple[float, float]] = (4.0, 40.0),
+    donate: bool = False,
+) -> Callable:
+    """Build the jitted raw-window → posterior function.
+
+    Returns ``decode(x (B, C, T)) -> posteriors (B, K)``. Params/state
+    are closed over as compile-time constants of the serving graph —
+    reload by rebuilding the decoder.
+    """
+    from .ops.filters import butter_sos, filtfilt, notch_ba, sosfiltfilt
+
+    notch = notch_ba(sfreq, notch_hz) if notch_hz else None
+    sos = butter_sos(sfreq, band[0], band[1]) if band else None
+
+    def _decode(x):
+        if notch is not None:
+            x = filtfilt(notch[0], notch[1], x)
+        if sos is not None:
+            x = sosfiltfilt(sos, x)
+        logits, _ = apply_fn(params, state, x, train=False, rng=None)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return jax.jit(_decode, donate_argnums=(0,) if donate else ())
+
+
+class StreamingDecoder:
+    """Fixed-latency continuous decoding over a host-side ring buffer.
+
+    Push arbitrary-length sample chunks; when at least ``seq_len`` samples
+    are buffered, ``decode_latest`` runs the jitted decoder on the most
+    recent window. The device graph sees one static shape only.
+    """
+
+    def __init__(
+        self,
+        decoder: Callable,
+        n_channels: int,
+        seq_len: int,
+    ):
+        self.decoder = decoder
+        self.seq_len = seq_len
+        self.buffer = np.zeros((n_channels, seq_len), np.float32)
+        self.filled = 0
+
+    def push(self, chunk: np.ndarray) -> None:
+        """Append ``(C, n)`` new samples to the ring."""
+        n = chunk.shape[-1]
+        if n >= self.seq_len:
+            self.buffer = chunk[:, -self.seq_len:].astype(np.float32)
+        else:
+            self.buffer = np.concatenate([self.buffer[:, n:], chunk], axis=-1)
+        self.filled = min(self.filled + n, self.seq_len)
+
+    @property
+    def ready(self) -> bool:
+        return self.filled >= self.seq_len
+
+    def decode_latest(self) -> np.ndarray:
+        """Posterior over classes for the latest full window ``(K,)``."""
+        if not self.ready:
+            raise RuntimeError(
+                f"buffer has {self.filled}/{self.seq_len} samples; push more first"
+            )
+        post = self.decoder(jnp.asarray(self.buffer)[None])
+        return np.asarray(post)[0]
+
+
+def export_decoder_weights(path: str, params, state) -> str:
+    """Persist serving weights (flat .npz, see ``train.checkpoint``)."""
+    from .train.checkpoint import save_state_dict
+
+    return save_state_dict(path, {"params": params, "state": state})
+
+
+def load_decoder_weights(path: str, params_template, state_template):
+    from .train.checkpoint import load_state_dict
+
+    tree = load_state_dict(
+        path, {"params": params_template, "state": state_template}, strip_prefix=""
+    )
+    return tree["params"], tree["state"]
