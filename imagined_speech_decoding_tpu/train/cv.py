@@ -33,7 +33,7 @@ from ..data.arrays import to_device
 from ..utils import green
 from . import artifacts
 from .checkpoint import save_state_dict, select_model
-from .engine import FitResult, ModelDef, fit_many, make_fit, predict
+from .engine import FitResult, ModelDef, fit_many, fit_many_segmented, make_fit, predict
 from .metrics import confusion_matrix, f1_from_confusion
 
 
@@ -98,6 +98,7 @@ def train_per_subject_cv(
     save_dir: Optional[str] = None,
     data_dtype=None,
     warm_start: Optional[Tuple] = None,  # (params0, state0) stacked over S*K
+    epochs_per_segment: int = 25,
     verbose: bool = True,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
@@ -120,10 +121,14 @@ def train_per_subject_cv(
         params0, state0 = warm_start  # e.g. LOSO-pretrained (see train.loso)
     else:
         params0, state0 = stacked_init(model, jax.random.PRNGKey(tc.seed), m_count)
+    # Segmented execution: one compiled `seg`-epoch program invoked
+    # repeatedly (long single-program scans have crashed the TPU runtime;
+    # segments also give natural resume points).
+    seg = min(epochs_per_segment, tc.max_epochs)
     fit = make_fit(
         model.apply,
         n_classes,
-        epochs=tc.max_epochs,
+        epochs=seg,
         batch_size=tc.batch_size,
         n_train=n_train,
         n_val=n_val,
@@ -131,12 +136,22 @@ def train_per_subject_cv(
         warmup_epochs=tc.warmup_epochs,
         final_scale=tc.final_lr_scale,
         weight_decay=tc.weight_decay,
+        data_dtype=data_dtype,
+        total_epochs=tc.max_epochs,
     )
     fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), m_count)
 
-    run = jax.jit(lambda *a: fit_many(fit, *a))
+    def progress(done_epochs, hist):
+        if verbose:
+            va = float(np.mean(np.asarray(hist["val_acc"][:, -1])))
+            print(f"  epoch {done_epochs}/{tc.max_epochs}: mean val_acc {va:.4f}")
+
     res: FitResult = jax.block_until_ready(
-        run(fit_keys, params0, state0, jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat)
+        fit_many_segmented(
+            fit, fit_keys, params0, state0,
+            jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat,
+            total_epochs=tc.max_epochs, progress=progress,
+        )
     )
 
     best_val = np.asarray(res.best_val_acc)  # (M,)

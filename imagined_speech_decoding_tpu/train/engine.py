@@ -82,6 +82,7 @@ def make_fit(
     final_scale: float = 0.1,
     weight_decay: float = 0.01,
     data_dtype=None,
+    total_epochs: Optional[int] = None,
 ) -> Callable:
     """Build the single-model fit function (jit/vmap it at the call site).
 
@@ -95,7 +96,12 @@ def make_fit(
     while the corpus itself is shared (broadcast), so HBM holds one copy.
     """
     spe = num_batches(n_train, batch_size)
-    opt = make_optimizer(learning_rate, epochs, spe, warmup_epochs, final_scale, weight_decay)
+    # The LR schedule spans the FULL run; under segmented execution
+    # `epochs` is one segment and `total_epochs` the whole schedule
+    # (optax's step counter carries across segments via opt_state).
+    opt = make_optimizer(
+        learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale, weight_decay
+    )
 
     vidx_np, vw_np = sequential_batch_indices(n_val, batch_size)
     vidx_c = jnp.asarray(vidx_np)
@@ -136,9 +142,15 @@ def make_fit(
         acc = jnp.trace(cm) / total
         return loss, acc, f1_from_confusion(cm)
 
-    def fit(key, params0, state0, train_idx, val_idx, X, Y):
-        opt_state0 = opt.init(params0)
-        epoch_keys = jax.random.split(key, epochs)
+    def init_carry(params0, state0):
+        return (
+            params0, state0, opt.init(params0),
+            params0, state0,
+            jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(0),
+        )
+
+    def _run_epochs(carry, key, n_epochs, train_idx, val_idx, X, Y):
+        epoch_keys = jax.random.split(key, n_epochs)
 
         def epoch_fn(carry, ekey):
             params, mstate, opt_state, best_params, best_ms, best_acc, best_ep, ep = carry
@@ -171,18 +183,28 @@ def make_fit(
             out = (tr_loss, tr_acc, tr_f1, va_loss, va_acc, va_f1)
             return (params, mstate, opt_state, best_params, best_ms, best_acc, best_ep, ep + 1), out
 
-        init_carry = (
-            params0, state0, opt_state0,
-            params0, state0,
-            jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(0),
-        )
-        carry, hist = jax.lax.scan(epoch_fn, init_carry, epoch_keys)
+        carry, hist = jax.lax.scan(epoch_fn, carry, epoch_keys)
+        history = dict(zip(["loss", "acc", "f1", "val_loss", "val_acc", "val_f1"], hist))
+        return carry, history
+
+    def _result(carry, history):
         params, mstate, _, best_params, best_ms, best_acc, best_ep, _ = carry
-        history = dict(
-            zip(["loss", "acc", "f1", "val_loss", "val_acc", "val_f1"], hist)
-        )
         return FitResult(params, mstate, best_params, best_ms, best_acc, best_ep, history)
 
+    def fit(key, params0, state0, train_idx, val_idx, X, Y):
+        carry = init_carry(params0, state0)
+        carry, history = _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y)
+        return _result(carry, history)
+
+    def segment(carry, key, train_idx, val_idx, X, Y):
+        """Run ``epochs`` epochs from an existing carry (see
+        ``fit_segmented``). Returns ``(carry, history)``."""
+        return _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y)
+
+    fit.init_carry = init_carry
+    fit.segment = segment
+    fit.result = _result
+    fit.epochs_per_call = epochs
     return fit
 
 
@@ -192,6 +214,52 @@ def fit_many(fit_fn: Callable, keys, params0, state0, train_idx, val_idx, X, Y) 
     return jax.vmap(fit_fn, in_axes=(0, 0, 0, 0, 0, None, None))(
         keys, params0, state0, train_idx, val_idx, X, Y
     )
+
+
+def fit_many_segmented(
+    fit_fn: Callable,
+    keys,
+    params0,
+    state0,
+    train_idx,
+    val_idx,
+    X,
+    Y,
+    total_epochs: int,
+    progress: Optional[Callable[[int, Dict], None]] = None,
+) -> FitResult:
+    """Segmented variant of ``fit_many``: repeatedly invokes one compiled
+    ``epochs_per_call``-epoch segment, carrying (params, optimizer, best
+    snapshot) on device between calls, and concatenates histories.
+
+    Keeps single XLA programs short (long whole-run scans have crashed
+    the TPU runtime), gives natural segment-level resume points, and
+    costs one compile total. Build ``fit_fn`` with
+    ``make_fit(epochs=<segment>, total_epochs=<total>)`` so the LR
+    schedule spans the full run.
+    """
+    seg = fit_fn.epochs_per_call
+    n_segments = -(-total_epochs // seg)
+
+    init = jax.vmap(fit_fn.init_carry)(params0, state0)
+    segment = jax.jit(
+        jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, None, None))
+    )
+
+    carry = init
+    histories = []
+    for s in range(n_segments):
+        seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
+        carry, hist = segment(carry, seg_keys, train_idx, val_idx, X, Y)
+        histories.append(hist)
+        if progress is not None:
+            progress(min((s + 1) * seg, total_epochs), hist)
+
+    history = {
+        k: jnp.concatenate([h[k] for h in histories], axis=-1)[..., :total_epochs]
+        for k in histories[0]
+    }
+    return fit_fn.result(carry, history)
 
 
 def evaluate(

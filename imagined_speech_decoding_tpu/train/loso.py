@@ -25,7 +25,7 @@ import numpy as np
 from ..data.arrays import to_device
 from ..utils import green
 from .checkpoint import load_state_dict, save_state_dict, select_model
-from .engine import FitResult, ModelDef, fit_many, make_fit
+from .engine import FitResult, ModelDef, fit_many_segmented, make_fit
 from .cv import stacked_init
 
 
@@ -103,15 +103,19 @@ def pretrain_loso(
     y_flat = to_device(Y.reshape(-1).astype(np.int32))
 
     params0, state0 = stacked_init(model, jax.random.PRNGKey(seed), s_count)
+    seg = min(25, epochs)
     fit = make_fit(
-        model.apply, n_classes, epochs=epochs, batch_size=batch_size,
+        model.apply, n_classes, epochs=seg, batch_size=batch_size,
         n_train=n_train, n_val=n_val, learning_rate=learning_rate,
-        warmup_epochs=warmup_epochs,
+        warmup_epochs=warmup_epochs, data_dtype=data_dtype, total_epochs=epochs,
     )
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), s_count)
-    run = jax.jit(lambda *a: fit_many(fit, *a))
     res: FitResult = jax.block_until_ready(
-        run(keys, params0, state0, jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat)
+        fit_many_segmented(
+            fit, keys, params0, state0,
+            jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat,
+            total_epochs=epochs,
+        )
     )
 
     best = []
