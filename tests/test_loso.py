@@ -51,6 +51,7 @@ class TestLOSOPretrain:
         X, Y = synthetic_corpus(0, n_subjects=3, n_trials=20, n_channels=8, n_samples=200)
         return cfg, model, X, Y
 
+    @pytest.mark.slow
     def test_pretrain_and_idempotency(self, setup, tmp_dir):
         cfg, model, X, Y = setup
         subjects = ["01", "02", "03"]
@@ -78,6 +79,7 @@ class TestLOSOPretrain:
         for a, b in zip(jax.tree.leaves(best[0]), jax.tree.leaves(best2[0])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_stack_for_cv(self, setup, tmp_dir):
         cfg, model, X, Y = setup
         subjects = ["01", "02"]

@@ -56,6 +56,7 @@ class TestMesh:
 
 
 class TestDPTrainStep:
+    @pytest.mark.slow
     def test_matches_single_device_gradients(self, dp_setup):
         """One DP step (no dropout) must equal the unsharded step.
 
@@ -88,6 +89,7 @@ class TestDPTrainStep:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5 * scale
             )
 
+    @pytest.mark.slow
     def test_weighted_padding_exact(self, dp_setup):
         """Zero-weight rows must not affect the DP loss."""
         cfg, model, params, mstate, x, y, w = dp_setup
@@ -118,6 +120,7 @@ class TestDPTrainStep:
 
 
 class TestModelAxisSharding:
+    @pytest.mark.slow
     def test_stacked_fit_sharded_matches_unsharded(self, small_config):
         """The vmapped fit with its model axis sharded over 8 devices must
         produce the same histories as the unsharded run."""
@@ -166,6 +169,7 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert np.asarray(out).shape == (8, 5)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
 

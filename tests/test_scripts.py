@@ -77,6 +77,7 @@ class TestEndToEndSynthetic:
     """Full CLI pipeline on synthetic data — the minimum end-to-end slice
     (SURVEY §7 stage 5) exercised through the public entry point."""
 
+    @pytest.mark.slow
     def test_train_fast_synthetic(self, tmp_dir):
         result = train_cli.main([
             "--config", "nonexistent.yaml",
