@@ -37,6 +37,23 @@ from .heads import head_apply, head_init
 Params = Dict[str, Any]
 State = Dict[str, Any]
 
+# Pallas fused-head toggle. None = auto = currently OFF everywhere:
+# measured on the available (virtualized) v5e slice, Mosaic-emitted
+# matmuls run at ~2.5-5 TFLOP/s (VPU-emulated) while XLA reaches
+# ~60 TFLOP/s on the same chip, so the XLA einsum path wins despite its
+# extra HBM traffic. The kernel (ops/pallas/conv4head.py) is kept as the
+# fused design for environments with native Mosaic MXU lowering; flip
+# PALLAS_HEAD=True (or ISD_PALLAS_HEAD=1) to use it.
+PALLAS_HEAD: Optional[bool] = None
+
+
+def _pallas_head_enabled() -> bool:
+    if PALLAS_HEAD is not None:
+        return PALLAS_HEAD
+    import os
+
+    return os.environ.get("ISD_PALLAS_HEAD", "") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Attention block (pre-LN; reference fast.py:10-29)
@@ -127,13 +144,63 @@ def fast_forward_head(
     layout = zone_layout(cfg.electrodes, cfg.zone_dict)
     step = step_override if step_override is not None else cfg.slide_step
     b = x.shape[0]
+    n = (x.shape[-1] - cfg.window_len) // step + 1
+
+    from .heads import conv4layers_fused_all_zones, get_head
+
+    if cfg.head == "Conv4Layers":
+        if _pallas_head_enabled():
+            # The hot path on TPU: one fused Pallas kernel per batch block
+            # (windowing + all convs in VMEM, in-kernel-recompute VJP) —
+            # no remat or micro-batching needed, HBM traffic is one read
+            # of x and one write of feat.
+            from ..ops.pallas.conv4head import fused_conv4_head
+            from .heads import conv4layers_prepare_fused_weights
+
+            w12r, b12r, w3r, w4r = conv4layers_prepare_fused_weights(
+                params["head"], layout.indices, layout.mask, x.shape[1]
+            )
+            feat = fused_conv4_head(
+                x, w12r, b12r, w3r, w4r, cfg.window_len, step
+            ).astype(x.dtype)
+            feat = feat.reshape(b, n, layout.n_zones, cfg.dim_cnn)
+            return feat, {"head": state["head"]}
+
+        # Gather-free fast path: zone selection folded into conv weights,
+        # whole head as batched GEMMs (see heads.conv4layers_fused_all_zones).
+        def head_of(xc):  # (B', C, T) -> (B'*n, Z, F)
+            wc = sliding_window(xc, cfg.window_len, step)  # (B', C, N, W)
+            wc = jnp.moveaxis(wc, 2, 1).reshape(
+                xc.shape[0] * n, xc.shape[1], cfg.window_len
+            )
+            return conv4layers_fused_all_zones(
+                params["head"], wc, layout.indices, layout.mask
+            )
+
+        if remat:
+            # Checkpoint at the raw batch: backward stores only x (+feat)
+            # and recomputes the window/conv chain — the lever that fits
+            # ~75 stacked models per chip.
+            head_of = jax.checkpoint(head_of)
+
+        if head_micro_batch:
+            # trials per chunk: largest divisor of b within the window budget
+            budget = max(head_micro_batch // n, 1)
+            tpc = max(d for d in range(1, budget + 1) if b % d == 0)
+        else:
+            tpc = 0
+        if tpc and b > tpc:
+            chunks = x.reshape(b // tpc, tpc, *x.shape[1:])
+            feat = jax.lax.map(head_of, chunks)
+            feat = feat.reshape(b * n, layout.n_zones, cfg.dim_cnn)
+        else:
+            feat = head_of(x)
+        feat = feat.reshape(b, n, layout.n_zones, cfg.dim_cnn)
+        return feat, {"head": state["head"]}
 
     w = sliding_window(x, cfg.window_len, step)  # (B, C, N, W)
-    n = w.shape[2]
     w = jnp.moveaxis(w, 2, 1).reshape(b * n, x.shape[1], cfg.window_len)  # (B*N, C, W)
     xz, zmask = zone_gather(w, layout.indices, layout.mask)  # (B*N, Z, C_max, W)
-
-    from .heads import get_head
 
     enc = get_head(cfg.head)
     stateless = not jax.tree.leaves(state["head"])

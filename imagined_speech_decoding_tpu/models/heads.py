@@ -94,17 +94,106 @@ def conv4layers_apply(params, state, x, mask, *, train=False, rng=None):
     """4-layer CNN: temporal(1,5)+bias → spatial(C,1) → 2x temporal(1,5)
     → GELU → mean over time. ``x (B, C_max, T) -> (B, dim)``.
 
-    The first two (purely linear) convs run as one fused kernel — see
-    ``_fuse_temporal_spatial``."""
-    h = x[:, None, :, :]  # (B, 1, C, T)
+    The first two (purely linear) convs run as one fused kernel (see
+    ``_fuse_temporal_spatial``); every conv runs as shifted batched GEMMs
+    (``nn.temporal_conv``) so the zone/model-vmapped program stays on the
+    MXU instead of degenerating into 1-group-per-instance grouped convs."""
     w12, b12 = _fuse_temporal_spatial(
         params["cnn1"]["w"], params["cnn1"]["b"], params["cnn2"]["w"], mask
     )
-    h = nn.conv2d({"w": w12, "b": b12}, h)  # (B, dim, 1, T-4)
-    h = nn.conv2d(params["cnn3"], h, padding=[(0, 0), (2, 2)])
-    h = nn.conv2d(params["cnn4"], h, padding=[(0, 0), (2, 2)])
+    h = nn.temporal_conv(x, w12[:, 0], b12)  # (B, dim, T-4)
+    h = nn.temporal_conv(h, params["cnn3"]["w"][:, :, 0, :], pad=2)
+    h = nn.temporal_conv(h, params["cnn4"]["w"][:, :, 0, :], pad=2)
     h = jax.nn.gelu(h, approximate=False)
-    return jnp.mean(h[:, :, 0, :], axis=-1), state
+    return jnp.mean(h, axis=-1), state
+
+
+def _zone_scatter(indices, mask, c_full: int):
+    """Static one-hot selection tensor ``(Z, C_max, C_full)``: S[z,c,C]=1
+    iff zone z's slot c is montage channel C (0 for padded slots)."""
+    import numpy as np
+
+    z, c_max = indices.shape
+    s = np.zeros((z, c_max, c_full), np.float32)
+    zi, ci = np.nonzero(np.asarray(mask))
+    s[zi, ci, np.asarray(indices)[zi, ci]] = 1.0
+    return s
+
+
+def conv4layers_fused_all_zones(params, x, indices, mask):
+    """All-zones Conv4Layers over UN-gathered input: ``x (B, C_full, T)``
+    → ``(B, Z, dim)``.
+
+    The gather-free fast path for the default head: zone channel
+    selection is folded into the fused temporal→spatial conv weights
+    (a static scatter to full-montage width), so the whole head is a
+    handful of batched GEMMs over a (Z,) batch axis — no TPU gathers,
+    no per-zone vmap (which would lower to Z-group grouped convs).
+    ``params`` are the zone-stacked Conv4Layers params from ``head_init``.
+    Exact-equivalence with the gather+vmap path is tested.
+    """
+    z_mask = jnp.asarray(mask)
+    wt = params["cnn1"]["w"][:, :, 0, 0, :]  # (Z, F, K)
+    bt = params["cnn1"]["b"]  # (Z, F)
+    ws = params["cnn2"]["w"][:, :, :, :, 0]  # (Z, O, F, C_max)
+    s = jnp.asarray(_zone_scatter(indices, mask, x.shape[1]), wt.dtype)
+    # temporal∘spatial fusion (cf. _fuse_temporal_spatial) + zone scatter
+    w12 = jnp.einsum("zofc,zfk,zcC->zoCk", ws, wt, s)  # (Z, O, C_full, K)
+    b12 = jnp.einsum("zofc,zc,zf->zo", ws, z_mask.astype(ws.dtype), bt)
+    w12 = w12.astype(x.dtype)
+
+    # Each conv runs as ONE dot_general contracting (channels x taps): the
+    # K-tap patch stack (jnp.stack of static slices — a single fused copy)
+    # raises the contraction to 320/160 for the MXU. Measured on the
+    # available chip this ties the best of several formulations tried
+    # (grouped convs, per-tap shifted GEMMs, time-major GEMMs).
+    def patches(v, k):  # (..., T) -> (..., T-K+1, K)
+        t_out = v.shape[-1] - k + 1
+        return jnp.stack(
+            [jax.lax.slice_in_dim(v, i, i + t_out, axis=-1) for i in range(k)], axis=-1
+        )
+
+    k = w12.shape[-1]
+    xp = patches(x, k)  # (B, C_full, T1, K)
+    h = jnp.einsum("bCtk,zoCk->bzot", xp, w12, preferred_element_type=x.dtype)
+    h = h + b12.astype(x.dtype)[None, :, :, None]  # (B, Z, O, T1)
+
+    for name in ("cnn3", "cnn4"):
+        w = params[name]["w"][:, :, :, 0, :].astype(x.dtype)  # (Z, O, I, K)
+        kk = w.shape[-1]
+        hp = jnp.pad(h, [(0, 0), (0, 0), (0, 0), (kk // 2, kk // 2)])
+        h = jnp.einsum(
+            "bzitk,zoik->bzot", patches(hp, kk), w, preferred_element_type=x.dtype
+        )
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.mean(h, axis=-1)  # (B, Z, O)
+
+
+def conv4layers_prepare_fused_weights(params, indices, mask, c_full: int):
+    """Zone-stacked Conv4Layers params → operand layouts for the Pallas
+    ``fused_conv4_head`` kernel (see ``ops/pallas/conv4head.py``).
+
+    Returns ``(w12r (Z*O, K1*C_full) tap-major, b12 (Z*O, 1) f32,
+    w3r (Z, O, K*I) tap-major, w4r)``. Pure (tiny) einsums — JAX's
+    autodiff of this prep routes the kernel's weight grads back onto the
+    original param tree.
+    """
+    wt = params["cnn1"]["w"][:, :, 0, 0, :]  # (Z, F, K)
+    bt_ = params["cnn1"]["b"]  # (Z, F)
+    ws = params["cnn2"]["w"][:, :, :, :, 0]  # (Z, O, F, C_max)
+    m = jnp.asarray(mask, ws.dtype)
+    s = jnp.asarray(_zone_scatter(indices, mask, c_full), ws.dtype)
+    w12 = jnp.einsum("zofc,zfk,zcC->zokC", ws, wt, s)  # tap-major (Z,O,K,C)
+    b12 = jnp.einsum("zofc,zc,zf->zo", ws, m, bt_)
+    z, o, k, c = w12.shape
+    w12r = w12.reshape(z * o, k * c)
+    b12r = b12.reshape(z * o, 1).astype(jnp.float32)
+
+    def tap_major(name):
+        w = params[name]["w"][:, :, :, 0, :]  # (Z, O, I, K)
+        return jnp.transpose(w, (0, 1, 3, 2)).reshape(z, o, -1)
+
+    return w12r, b12r, tap_major("cnn3"), tap_major("cnn4")
 
 
 # ---------------------------------------------------------------------------
@@ -234,26 +323,33 @@ def headconv_paper_init(key, c_max: int, feature_dim: int = 32, window_len: int 
     return params, state
 
 
+def _max_pool_time2(h: jnp.ndarray) -> jnp.ndarray:
+    """Non-overlapping (1, 2) max pool over the last axis of ``(B, F, T)``
+    (torch ``MaxPool2d((1, 2))`` floor semantics)."""
+    t = h.shape[-1] // 2 * 2
+    return h[..., :t].reshape(*h.shape[:-1], t // 2, 2).max(axis=-1)
+
+
 def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None):
-    h = x[:, None, :, :]
     # temporal+bias → mask → spatial fused into one conv (see
-    # _fuse_temporal_spatial) to avoid the (B, F1, C_max, T) intermediate.
+    # _fuse_temporal_spatial) to avoid the (B, F1, C_max, T) intermediate;
+    # all convs as shifted GEMMs (nn.temporal_conv) for vmap efficiency.
     w12, b12 = _fuse_temporal_spatial(
         params["cnn1_t"]["w"], params["cnn1_t"]["b"], params["cnn1_s"]["w"], mask
     )
-    h = nn.conv2d({"w": w12, "b": b12}, h)  # (B, F1, 1, T-2)
+    h = nn.temporal_conv(x, w12[:, 0], b12)  # (B, F1, T-2)
     new_state = {}
     h, new_state["norm1"] = batch_norm(h, params["norm1"], state["norm1"], train=train)
     h = jax.nn.gelu(h, approximate=False)
-    h = nn.max_pool(h, (1, 2))
+    h = _max_pool_time2(h)
     for i in (2, 3, 4):
-        h = nn.conv2d(params[f"cnn{i}"], h)
+        h = nn.temporal_conv(h, params[f"cnn{i}"]["w"][:, :, 0, :])
         h, new_state[f"norm{i}"] = batch_norm(
             h, params[f"norm{i}"], state[f"norm{i}"], train=train
         )
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.max_pool(h, (1, 2))
-    return jnp.mean(h[:, :, 0, :], axis=-1), new_state
+        h = _max_pool_time2(h)
+    return jnp.mean(h, axis=-1), new_state
 
 
 # ---------------------------------------------------------------------------

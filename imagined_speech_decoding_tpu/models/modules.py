@@ -105,6 +105,36 @@ def conv2d(
     return y
 
 
+def temporal_conv(
+    x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, pad: int = 0
+) -> jnp.ndarray:
+    """1-D conv over the last axis as K shifted batched GEMMs.
+
+    ``x (..., C, T)``, ``w (O, C, K)`` → ``(..., O, T + 2*pad - K + 1)``.
+
+    Rationale: under ``vmap`` over stacked per-model/per-zone weights,
+    ``conv_general_dilated`` lowers to a grouped conv with one group per
+    (model, zone) instance — on TPU that pads the channel dimension per
+    group, blowing activation memory ~(models·zones)× and starving the
+    MXU. A sum of K slice-shifted ``dot_general``s instead vmaps into
+    clean batched GEMMs: the slice fuses into the operand read and each
+    GEMM contracts the true channel dimension with no group padding.
+    """
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    k = w.shape[-1]
+    t_out = x.shape[-1] - k + 1
+    w = w.astype(x.dtype)
+    out = None
+    for i in range(k):
+        xi = jax.lax.slice_in_dim(x, i, i + t_out, axis=-1)
+        term = jnp.einsum("...ct,oc->...ot", xi, w[..., i], preferred_element_type=x.dtype)
+        out = term if out is None else out + term
+    if b is not None:
+        out = out + b.astype(x.dtype)[..., :, None]
+    return out
+
+
 def avg_pool(x: jnp.ndarray, window: Tuple[int, int], stride: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Average pool over the trailing two axes of ``(B, C, H, W)``."""
     stride = stride or window

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,10 +29,13 @@ def sliding_window(x: jnp.ndarray, window_len: int, step: int) -> jnp.ndarray:
     """
     t = x.shape[-1]
     n = num_windows(t, window_len, step)
-    starts = np.arange(n)[:, None] * step
-    offs = np.arange(window_len)[None, :]
-    idx = jnp.asarray(starts + offs)  # (N, W) static
-    return x[..., idx]
+    # N static contiguous slices, stacked. A fancy-index gather here
+    # (x[..., idx]) lowers to a TPU gather — scalar-unit bound and ~100x
+    # slower than these pure copies, which XLA often fuses into consumers.
+    return jnp.stack(
+        [jax.lax.slice_in_dim(x, s * step, s * step + window_len, axis=-1) for s in range(n)],
+        axis=-2,
+    )
 
 
 def edge_pad(x: jnp.ndarray, target_len: int) -> jnp.ndarray:
