@@ -39,6 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loso-epochs", type=int, default=100)
     p.add_argument("--remat", action="store_true", help="recompute head activations in bwd")
     p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the segment checkpoint under --output_dir",
+    )
+    p.add_argument(
+        "--mesh", type=str, default="none", choices=["none", "model"],
+        help="shard the (subject x fold) model stack over the device mesh",
+    )
+    p.add_argument(
         "--synthetic", type=int, default=0, metavar="N_SUBJECTS",
         help="run on synthetic data with N subjects (no dataset needed)",
     )
@@ -130,6 +138,9 @@ def main(argv=None):
     result = train_per_subject_cv(
         model, cfg.train, X, Y, subjects, cfg.model.n_classes,
         test_per_subject=test, save_dir=args.output_dir, warm_start=warm,
+        checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+        resume=args.resume,
+        mesh_axis=None if args.mesh == "none" else args.mesh,
     )
 
     print("\n" + "=" * 60)

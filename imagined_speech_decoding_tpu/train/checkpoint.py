@@ -114,3 +114,43 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
 def select_model(result_tree: Any, index: int) -> Any:
     """Slice one model out of a stacked (vmapped) result pytree."""
     return jax.tree.map(lambda v: v[index], result_tree)
+
+
+# ---------------------------------------------------------------------------
+# Segment-boundary checkpoints for fit_many_segmented (mid-run persistence)
+# ---------------------------------------------------------------------------
+
+def save_segment_checkpoint(path: str, carry: Any, histories: list, next_segment: int) -> str:
+    """Atomically persist a segmented-fit carry + per-segment histories.
+
+    One flat ``.npz``: the carry pytree (params, model state, optimizer
+    state incl. step counts, best snapshot, epoch counter), each
+    segment's history dict, and the resume cursor. tmp+rename makes a
+    crash mid-save keep the previous valid checkpoint.
+    """
+    flat = _flatten(carry, "carry.")
+    for i, h in enumerate(histories):
+        flat.update(_flatten(h, f"hist.{i}."))
+    flat["meta.next_segment"] = np.asarray(next_segment, np.int64)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+    return path
+
+
+def load_segment_checkpoint(path: str, carry_template: Any):
+    """Restore ``(carry, histories, next_segment)`` saved by
+    ``save_segment_checkpoint``; dtypes/shapes follow the template."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    next_segment = int(flat.pop("meta.next_segment"))
+    carry_flat = {k[len("carry."):]: v for k, v in flat.items() if k.startswith("carry.")}
+    carry = _unflatten_into(carry_template, carry_flat)
+    histories = []
+    for i in range(next_segment):
+        pre = f"hist.{i}."
+        hist = {k[len(pre):]: jnp.asarray(v) for k, v in flat.items() if k.startswith(pre)}
+        if hist:
+            histories.append(hist)
+    return carry, histories, next_segment

@@ -100,6 +100,9 @@ def train_per_subject_cv(
     warm_start: Optional[Tuple] = None,  # (params0, state0) stacked over S*K
     epochs_per_segment: int = 25,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
+    mesh_axis: Optional[str] = None,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
     best fold per subject, evaluate on the official test set, and write
@@ -141,6 +144,43 @@ def train_per_subject_cv(
     )
     fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), m_count)
 
+    tidx_d, vidx_d = jnp.asarray(train_idx), jnp.asarray(val_idx)
+    m_padded = m_count
+    if mesh_axis:
+        # Shard the stacked model axis over the device mesh: each chip
+        # trains its slice of the (subject x fold) stack with zero
+        # inter-chip collectives — the SPMD replacement for the
+        # reference's process-per-GPU subject sharding
+        # (deprecated/BCIC2020Track3_run.sh:6-8). The corpus replicates.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh((mesh_axis,))
+        n_dev = int(mesh.devices.size)
+        # Sharded axes must divide the mesh: pad the stack with replicas
+        # of the last model (trained redundantly, sliced off afterwards).
+        m_pad = (-m_count) % n_dev
+        m_padded = m_count + m_pad
+        if m_pad:
+            rep = lambda t: jax.tree.map(
+                lambda v: jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (m_pad,) + v.shape[1:])], axis=0
+                ),
+                t,
+            )
+            fit_keys, params0, state0, tidx_d, vidx_d = (
+                rep(fit_keys), rep(params0), rep(state0), rep(tidx_d), rep(vidx_d),
+            )
+        stacked = NamedSharding(mesh, P(mesh_axis))
+        repl = NamedSharding(mesh, P())
+        put = lambda t, s: jax.tree.map(lambda v: jax.device_put(v, s), t)
+        fit_keys, params0, state0, tidx_d, vidx_d = (
+            put(fit_keys, stacked), put(params0, stacked), put(state0, stacked),
+            put(tidx_d, stacked), put(vidx_d, stacked),
+        )
+        x_flat, y_flat = put(x_flat, repl), put(y_flat, repl)
+
     def progress(done_epochs, hist):
         if verbose:
             va = float(np.mean(np.asarray(hist["val_acc"][:, -1])))
@@ -149,10 +189,13 @@ def train_per_subject_cv(
     res: FitResult = jax.block_until_ready(
         fit_many_segmented(
             fit, fit_keys, params0, state0,
-            jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat,
+            tidx_d, vidx_d, x_flat, y_flat,
             total_epochs=tc.max_epochs, progress=progress,
+            checkpoint_dir=checkpoint_dir, resume=resume,
         )
     )
+    if m_padded != m_count:  # drop the mesh-padding replicas
+        res = jax.tree.map(lambda v: v[:m_count], res)
 
     best_val = np.asarray(res.best_val_acc)  # (M,)
     history = {h: np.asarray(v) for h, v in res.history.items()}  # (M, E)

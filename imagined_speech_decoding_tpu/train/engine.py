@@ -83,6 +83,8 @@ def make_fit(
     weight_decay: float = 0.01,
     data_dtype=None,
     total_epochs: Optional[int] = None,
+    early_stop_threshold: Optional[float] = None,
+    early_stop_patience: Optional[int] = None,
 ) -> Callable:
     """Build the single-model fit function (jit/vmap it at the call site).
 
@@ -147,21 +149,35 @@ def make_fit(
             params0, state0, opt.init(params0),
             params0, state0,
             jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(0),
+            jnp.bool_(False),  # early-stopped flag
         )
 
     def _run_epochs(carry, key, n_epochs, train_idx, val_idx, X, Y):
         epoch_keys = jax.random.split(key, n_epochs)
 
         def epoch_fn(carry, ekey):
-            params, mstate, opt_state, best_params, best_ms, best_acc, best_ep, ep = carry
+            (params0_c, mstate0_c, opt_state0_c, best_params, best_ms,
+             best_acc, best_ep, ep, stopped) = carry
             kshuf, kstep = jax.random.split(ekey)
             bidx, bw = shuffled_epoch_indices(kshuf, n_train, batch_size)
             gidx = jnp.take(train_idx, bidx, axis=0)  # (spe, B) global indices
             step_keys = jax.random.split(kstep, spe)
 
             (params, mstate, opt_state), (losses, cms) = jax.lax.scan(
-                partial(train_step, X, Y), (params, mstate, opt_state), (gidx, bw, step_keys)
+                partial(train_step, X, Y),
+                (params0_c, mstate0_c, opt_state0_c),
+                (gidx, bw, step_keys),
             )
+            # Early stopping (Lightning EarlyStopping semantics, in-scan):
+            # once stopped, the model is frozen — epoch passes still run
+            # (fixed-shape scan) but their updates are discarded.
+            if early_stop_threshold is not None or early_stop_patience is not None:
+                frozen = lambda new, old: jax.tree.map(
+                    lambda a, b: jnp.where(stopped, b, a), new, old
+                )
+                params = frozen(params, params0_c)
+                mstate = frozen(mstate, mstate0_c)
+                opt_state = frozen(opt_state, opt_state0_c)
             cm = cms.sum(0)
             total = jnp.maximum(cm.sum(), 1.0)
             tr_loss = jnp.sum(losses) / total
@@ -171,7 +187,7 @@ def make_fit(
             gvidx = jnp.take(val_idx, vidx_c, axis=0)
             va_loss, va_acc, va_f1 = eval_pass(X, Y, params, mstate, gvidx, vw_c)
 
-            improved = va_acc > best_acc
+            improved = (va_acc > best_acc) & ~stopped
             sel = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(improved, a, b), new, old
             )
@@ -180,15 +196,23 @@ def make_fit(
             best_acc = jnp.where(improved, va_acc, best_acc)
             best_ep = jnp.where(improved, ep, best_ep)
 
+            if early_stop_threshold is not None:
+                stopped = stopped | (va_acc >= early_stop_threshold)
+            if early_stop_patience is not None:
+                stopped = stopped | (ep - best_ep >= early_stop_patience)
+
             out = (tr_loss, tr_acc, tr_f1, va_loss, va_acc, va_f1)
-            return (params, mstate, opt_state, best_params, best_ms, best_acc, best_ep, ep + 1), out
+            return (
+                params, mstate, opt_state, best_params, best_ms,
+                best_acc, best_ep, ep + 1, stopped,
+            ), out
 
         carry, hist = jax.lax.scan(epoch_fn, carry, epoch_keys)
         history = dict(zip(["loss", "acc", "f1", "val_loss", "val_acc", "val_f1"], hist))
         return carry, history
 
     def _result(carry, history):
-        params, mstate, _, best_params, best_ms, best_acc, best_ep, _ = carry
+        params, mstate, _, best_params, best_ms, best_acc, best_ep, _, _ = carry
         return FitResult(params, mstate, best_params, best_ms, best_acc, best_ep, history)
 
     def fit(key, params0, state0, train_idx, val_idx, X, Y):
@@ -227,6 +251,8 @@ def fit_many_segmented(
     Y,
     total_epochs: int,
     progress: Optional[Callable[[int, Dict], None]] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> FitResult:
     """Segmented variant of ``fit_many``: repeatedly invokes one compiled
     ``epochs_per_call``-epoch segment, carrying (params, optimizer, best
@@ -237,7 +263,20 @@ def fit_many_segmented(
     costs one compile total. Build ``fit_fn`` with
     ``make_fit(epochs=<segment>, total_epochs=<total>)`` so the LR
     schedule spans the full run.
+
+    ``checkpoint_dir``: persist the full carry (params, optimizer state,
+    best snapshot, epoch counter) + history to disk at every segment
+    boundary (atomic tmp+rename), and — with ``resume=True`` — restart
+    from the newest boundary after a crash. The reference analogue is
+    Lightning ``ModelCheckpoint`` during ``trainer.fit``
+    (``scripts/train_fast.py:118-125``); this additionally restores the
+    optimizer, so a resumed run is step-identical to an uninterrupted
+    one (tested).
     """
+    import os
+
+    from .checkpoint import load_segment_checkpoint, save_segment_checkpoint
+
     seg = fit_fn.epochs_per_call
     n_segments = -(-total_epochs // seg)
 
@@ -248,10 +287,18 @@ def fit_many_segmented(
 
     carry = init
     histories = []
-    for s in range(n_segments):
+    start_seg = 0
+    ckpt_path = os.path.join(checkpoint_dir, "segment_carry.npz") if checkpoint_dir else None
+    if ckpt_path and resume and os.path.exists(ckpt_path):
+        carry, histories, start_seg = load_segment_checkpoint(ckpt_path, init)
+
+    for s in range(start_seg, n_segments):
         seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
         carry, hist = segment(carry, seg_keys, train_idx, val_idx, X, Y)
         histories.append(hist)
+        if ckpt_path:
+            jax.block_until_ready(hist)
+            save_segment_checkpoint(ckpt_path, carry, histories, s + 1)
         if progress is not None:
             progress(min((s + 1) * seg, total_epochs), hist)
 

@@ -1,0 +1,87 @@
+"""Mid-run checkpoint persistence: segment-boundary save + crash resume.
+
+Reference analogue: Lightning ``ModelCheckpoint`` persists during
+``trainer.fit`` (``/root/reference/scripts/train_fast.py:118-125``); the
+rebuild persists the FULL carry (params, optimizer, best snapshot, epoch
+counter) so a resumed run is step-identical to an uninterrupted one.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagined_speech_decoding_tpu.models.api import make_fast_model
+from imagined_speech_decoding_tpu.train.cv import stacked_init
+from imagined_speech_decoding_tpu.train.engine import fit_many_segmented, make_fit
+
+
+@pytest.fixture(scope="module")
+def setup(small_config_module):
+    cfg = small_config_module
+    model = make_fast_model(cfg)
+    m, n_trials, n_train, n_val = 3, 24, 16, 8
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(n_trials, cfg.n_channels, cfg.seq_len)).astype(np.float32))
+    Y = jnp.asarray(rng.integers(0, cfg.n_classes, n_trials).astype(np.int32))
+    perms = np.stack([rng.permutation(n_trials) for _ in range(m)])
+    tidx = jnp.asarray(perms[:, :n_train])
+    vidx = jnp.asarray(perms[:, n_train:])
+    params0, state0 = stacked_init(model, jax.random.PRNGKey(1), m)
+    keys = jax.random.split(jax.random.PRNGKey(2), m)
+    fit = make_fit(
+        model.apply, cfg.n_classes, epochs=2, batch_size=8,
+        n_train=n_train, n_val=n_val, warmup_epochs=1, total_epochs=6,
+    )
+    return fit, keys, params0, state0, tidx, vidx, X, Y
+
+
+@pytest.fixture(scope="module")
+def small_config_module():
+    from imagined_speech_decoding_tpu.config import FASTConfig
+
+    return FASTConfig(
+        electrodes=("C1", "C2", "C3", "C4", "P1", "P2", "O1", "O2"),
+        zone_dict={"Central": ("C1", "C2", "C3", "C4"), "Parietal": ("P1", "P2"),
+                   "Occipital": ("O1", "O2")},
+        dim_cnn=8, dim_token=16, seq_len=200, window_len=100, slide_step=50,
+        head="Conv4Layers", n_classes=5, num_layers=1, num_heads=4, dropout=0.0,
+    )
+
+
+def _run(setup, total_epochs, ckpt_dir=None, resume=True):
+    fit, keys, params0, state0, tidx, vidx, X, Y = setup
+    return fit_many_segmented(
+        fit, keys, params0, state0, tidx, vidx, X, Y,
+        total_epochs=total_epochs, checkpoint_dir=ckpt_dir, resume=resume,
+    )
+
+
+class TestSegmentCheckpoint:
+    def test_resume_is_step_identical(self, setup, tmp_path):
+        ref = _run(setup, 6)  # uninterrupted, no persistence
+
+        # "crashed" run: only 2 of 3 segments execute
+        crash_dir = str(tmp_path / "ckpt")
+        partial = _run(setup, 4, ckpt_dir=crash_dir)
+        assert os.path.exists(os.path.join(crash_dir, "segment_carry.npz"))
+
+        resumed = _run(setup, 6, ckpt_dir=crash_dir, resume=True)
+        for a, b in zip(jax.tree.leaves(resumed.params), jax.tree.leaves(ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(resumed.history["val_acc"]), np.asarray(ref.history["val_acc"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.best_val_acc), np.asarray(ref.best_val_acc), rtol=1e-5
+        )
+        assert resumed.history["loss"].shape == ref.history["loss"].shape
+
+    def test_no_resume_starts_fresh(self, setup, tmp_path):
+        ckpt_dir = str(tmp_path / "ckpt2")
+        _run(setup, 4, ckpt_dir=ckpt_dir)
+        fresh = _run(setup, 2, ckpt_dir=ckpt_dir, resume=False)
+        assert fresh.history["loss"].shape[-1] == 2

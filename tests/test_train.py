@@ -226,3 +226,46 @@ class TestCheckpoint:
         _np.savez(f"{tmp_dir}/bad.npz", w=_np.zeros((3, 3), _np.float32))
         with pytest.raises(ValueError):
             load_state_dict(f"{tmp_dir}/bad.npz", tree)
+
+
+class TestEarlyStopping:
+    """In-scan early stopping (reference notebook capability:
+    EarlyStopping(stopping_threshold=1.0, patience=20), cell 26)."""
+
+    def _fit(self, small_config, **es):
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+        from imagined_speech_decoding_tpu.train.engine import make_fit
+
+        model = make_fast_model(small_config)
+        rng = np.random.default_rng(0)
+        n = 24
+        X = jnp.asarray(rng.normal(size=(n, small_config.n_channels, small_config.seq_len)).astype(np.float32))
+        Y = jnp.asarray(rng.integers(0, small_config.n_classes, n).astype(np.int32))
+        params0, state0 = model.init(jax.random.PRNGKey(0))
+        fit = make_fit(
+            model.apply, small_config.n_classes, epochs=6, batch_size=8,
+            n_train=16, n_val=8, warmup_epochs=1, **es,
+        )
+        res = jax.jit(fit)(
+            jax.random.PRNGKey(1), params0, state0,
+            jnp.arange(16), jnp.arange(16, 24), X, Y,
+        )
+        return res
+
+    def test_threshold_freezes_model(self, small_config):
+        res = self._fit(small_config, early_stop_threshold=0.0)
+        va = np.asarray(res.history["val_acc"])
+        # stopped after epoch 0: frozen params give a constant val curve
+        assert np.allclose(va[1:], va[1]), va
+
+    def test_patience_stops(self, small_config):
+        res = self._fit(small_config, early_stop_patience=1)
+        va = np.asarray(res.history["val_acc"])
+        best_ep = int(res.best_epoch)
+        # after best_ep + 1 epochs without improvement the curve freezes
+        tail = va[best_ep + 2:]
+        assert tail.size == 0 or np.allclose(tail, tail[0])
+
+    def test_disabled_by_default(self, small_config):
+        res = self._fit(small_config)
+        assert np.asarray(res.history["loss"]).shape == (6,)
