@@ -35,27 +35,52 @@ def make_online_decoder(
     notch_hz: Optional[float] = 60.0,
     band: Optional[Tuple[float, float]] = (4.0, 40.0),
     donate: bool = False,
+    weights_as_constants: bool = False,
 ) -> Callable:
     """Build the jitted raw-window → posterior function.
 
-    Returns ``decode(x (B, C, T)) -> posteriors (B, K)``. Params/state
-    are closed over as compile-time constants of the serving graph —
-    reload by rebuilding the decoder.
+    Returns ``decode(x (B, C, T)) -> posteriors (B, K)`` with an
+    attached ``decode.swap_weights(params, state)`` that replaces the
+    serving weights WITHOUT recompiling (params/state are runtime
+    arguments of the compiled graph, partially applied). Set
+    ``weights_as_constants=True`` to bake them into the executable
+    instead (marginally faster dispatch; reload requires a rebuild).
     """
     from .ops.filters import butter_sos, filtfilt, notch_ba, sosfiltfilt
 
     notch = notch_ba(sfreq, notch_hz) if notch_hz else None
     sos = butter_sos(sfreq, band[0], band[1]) if band else None
 
-    def _decode(x):
+    def _decode(p, s, x):
         if notch is not None:
             x = filtfilt(notch[0], notch[1], x)
         if sos is not None:
             x = sosfiltfilt(sos, x)
-        logits, _ = apply_fn(params, state, x, train=False, rng=None)
+        logits, _ = apply_fn(p, s, x, train=False, rng=None)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    return jax.jit(_decode, donate_argnums=(0,) if donate else ())
+    if weights_as_constants:
+        fn = jax.jit(
+            lambda x: _decode(params, state, x),
+            donate_argnums=(0,) if donate else (),
+        )
+        fn.swap_weights = None  # constants are baked in; rebuild to reload
+        return fn
+
+    jitted = jax.jit(_decode, donate_argnums=(2,) if donate else ())
+    live = {"params": jax.device_put(params), "state": jax.device_put(state)}
+
+    def decode(x):
+        return jitted(live["params"], live["state"], x)
+
+    def swap_weights(new_params, new_state):
+        """Hot-swap serving weights; the compiled graph is reused (same
+        shapes/dtypes), so no recompilation happens."""
+        live["params"] = jax.device_put(new_params)
+        live["state"] = jax.device_put(new_state)
+
+    decode.swap_weights = swap_weights
+    return decode
 
 
 class StreamingDecoder:

@@ -85,6 +85,61 @@ class TestStreamingDecoder:
         np.testing.assert_allclose(sd.decode_latest(), direct, rtol=1e-5, atol=1e-6)
 
 
+class TestWeightSwap:
+    def test_hot_swap_without_recompile(self, decoder_setup, dummy_eeg_small):
+        cfg, model, params, state, dec = decoder_setup
+        params2, state2 = model.init(jax.random.PRNGKey(99))
+        x = jnp.asarray(dummy_eeg_small)
+        before = np.asarray(dec(x))
+        dec.swap_weights(params2, state2)
+        swapped = np.asarray(dec(x))
+        assert not np.allclose(before, swapped)
+        # same weights via a fresh decoder -> identical posteriors
+        dec_ref = make_online_decoder(
+            model.apply, params2, state2, sfreq=100.0, notch_hz=25.0, band=(2.0, 30.0)
+        )
+        np.testing.assert_allclose(swapped, np.asarray(dec_ref(x)), rtol=1e-6)
+        dec.swap_weights(params, state)  # restore for other tests
+        np.testing.assert_allclose(np.asarray(dec(x)), before, rtol=1e-6)
+
+    def test_constants_mode(self, decoder_setup, dummy_eeg_small):
+        cfg, model, params, state, dec = decoder_setup
+        dec_c = make_online_decoder(
+            model.apply, params, state, sfreq=100.0, notch_hz=25.0,
+            band=(2.0, 30.0), weights_as_constants=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_c(jnp.asarray(dummy_eeg_small))),
+            np.asarray(dec(jnp.asarray(dummy_eeg_small))),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert dec_c.swap_weights is None
+
+
+class TestStreamingChunked:
+    def test_non_divisible_chunk_sizes(self, decoder_setup):
+        """Ragged pushes (sizes that don't divide seq_len) must preserve
+        exact latest-window semantics through the zero-prefill phase."""
+        cfg, *_, dec = decoder_setup
+        sd = StreamingDecoder(dec, cfg.n_channels, cfg.seq_len)
+        rng = np.random.default_rng(3)
+        stream = rng.normal(size=(cfg.n_channels, cfg.seq_len * 3 + 17)).astype(np.float32)
+        pos = 0
+        for size in [7, 33, 50, 1, 129, 64]* 20:
+            if pos >= stream.shape[-1]:
+                break
+            chunk = stream[:, pos : pos + size]
+            if chunk.shape[-1] == 0:
+                break
+            sd.push(chunk)
+            pos += chunk.shape[-1]
+            if sd.ready and pos >= cfg.seq_len:
+                direct = np.asarray(
+                    dec(jnp.asarray(stream[:, pos - cfg.seq_len : pos])[None])
+                )[0]
+                np.testing.assert_allclose(sd.decode_latest(), direct, rtol=1e-5, atol=1e-6)
+
+
 class TestWeightRoundTrip:
     def test_export_reload(self, decoder_setup, tmp_dir, dummy_eeg_small):
         cfg, model, params, state, dec = decoder_setup
