@@ -32,17 +32,50 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_WINDOWS_PER_SEC = 3.9 * 280 * 5  # = 5460, see module docstring
+# Basis note: 5,460 w/s is the only measured in-repo reference number (a
+# CUDA GPU full-batch step rate). The BASELINE.json "50x CPU reference"
+# has no measurable in-repo CPU figure; a CPU reference would be slower
+# than this GPU figure, so vs_baseline below is the CONSERVATIVE ratio.
 
 # Bench scale (real dataset geometry).
 N_SUBJECTS = 15
 N_TRIALS = 350
 N_FOLDS = 5
 BENCH_EPOCHS = 4  # measured epochs per timed run
+ACC_EPOCHS = 30  # convergence-evidence epochs (learning proof)
 BATCH_SIZE = 64
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def measure_peak_matmul_tflops():
+    """Measured bf16 matmul peak of this chip (roofline denominator) —
+    the available chip is a virtualized v5e slice, so the nameplate
+    v5e number would overstate the roof."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b):
+        return jax.lax.fori_loop(
+            0, 10, lambda i, c: jnp.dot(a, c, preferred_element_type=jnp.bfloat16), b
+        )
+
+    out = mm(a, b)
+    float(jnp.sum(out[0, :2].astype(jnp.float32)))
+    best = 0.0
+    for _ in range(3):  # the slice appears time-shared; take the best
+        t0 = time.perf_counter()
+        out = mm(a, b)
+        float(jnp.sum(out[0, :2].astype(jnp.float32)))
+        best = max(best, 10 * 2 * n**3 / (time.perf_counter() - t0) / 1e12)
+    return best
 
 
 def main():
@@ -130,6 +163,49 @@ def main():
     log(f"bench: train steady-state {t_train:.3f}s "
         f"({train_windows / max(t_train, 1e-9):.0f} windows/s)")
 
+    # ---- roofline: achieved FLOPs vs this chip's measured matmul peak.
+    # Analytic FLOP count (XLA cost_analysis under-reports on this remote
+    # backend): per window-trial forward, conv12 as fused+scattered GEMM
+    # 2*(Z*O)*(C*K1)*T1 + two tail convs 2*Z*(O*O*K2)*T1, transformer
+    # ~2*6tok*(3+1+2)*dim^2 per trial (negligible), backward ~2x forward.
+    t1 = cfg.window_len - 4
+    fwd_flops_per_window = (
+        2 * (8 * cfg.dim_cnn) * (cfg.n_channels * 5) * t1
+        + 2 * 2 * 8 * cfg.dim_cnn * cfg.dim_cnn * 5 * t1
+    )
+    train_pass_windows = m_count * BENCH_EPOCHS * n_train * cfg.n_tokens
+    eval_pass_windows = m_count * BENCH_EPOCHS * n_val * cfg.n_tokens
+    run_flops = (
+        3 * fwd_flops_per_window * train_pass_windows  # fwd+bwd
+        + fwd_flops_per_window * eval_pass_windows
+    )
+    peak_tflops = measure_peak_matmul_tflops()
+    achieved_tflops = run_flops / max(t_train, 1e-9) / 1e12
+    mfu = achieved_tflops / peak_tflops if peak_tflops else 0.0
+    log(f"bench: {achieved_tflops:.2f} TFLOP/s achieved vs {peak_tflops:.1f} "
+        f"TFLOP/s measured matmul peak -> MFU {mfu:.1%}")
+
+    # ---- convergence evidence: same stacked engine, enough epochs to
+    # beat chance decisively on the class-structured synthetic corpus.
+    # Segmented execution (one long whole-run scan crashes the TPU
+    # worker — the production path is segmented for the same reason). ----
+    from imagined_speech_decoding_tpu.train.engine import fit_many_segmented
+
+    fit_acc = make_fit(
+        model.apply, cfg.n_classes, epochs=10, batch_size=BATCH_SIZE,
+        n_train=n_train, n_val=n_val, learning_rate=5e-4,
+        warmup_epochs=10, data_dtype=compute_dtype, total_epochs=ACC_EPOCHS,
+    )
+    t0 = time.perf_counter()
+    acc_res = fit_many_segmented(
+        fit_acc, keys, params0, state0, tidx, vidx, x_flat, y_flat,
+        total_epochs=ACC_EPOCHS,
+    )
+    best_val = float(np.mean(np.asarray(acc_res.best_val_acc)))
+    log(f"bench: convergence run ({ACC_EPOCHS} epochs, 75 models) "
+        f"{time.perf_counter() - t0:.1f}s -> mean best val_acc {best_val:.4f} "
+        f"(chance 0.2)")
+
     total_windows = pre_windows + train_windows
     total_time = t_pre + t_train
     value = total_windows / total_time
@@ -145,9 +221,10 @@ def main():
             "models": m_count,
             "epochs": BENCH_EPOCHS,
             "train_windows_per_s": round(train_windows / max(t_train, 1e-9), 1),
-            "final_train_acc_mean": round(
-                float(np.mean(np.asarray(res.history["acc"][:, -1]))), 4
-            ),
+            "mean_best_val_acc_30ep": round(best_val, 4),
+            "achieved_tflops": round(achieved_tflops, 2),
+            "measured_peak_matmul_tflops": round(peak_tflops, 1),
+            "mfu": round(mfu, 4),
             "device": str(jax.devices()[0]),
         },
     }
