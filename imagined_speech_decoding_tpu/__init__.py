@@ -33,6 +33,8 @@ from .utils import (  # noqa: F401
     now,
     random_string,
     find_available_path,
+    first_existing_path,
+    next_available_path,
     convert_to_number,
 )
 from .config import FASTConfig, TrainConfig, ExperimentConfig, load_config  # noqa: F401
@@ -53,5 +55,7 @@ __all__ = [
     "now",
     "random_string",
     "find_available_path",
+    "first_existing_path",
+    "next_available_path",
     "convert_to_number",
 ]

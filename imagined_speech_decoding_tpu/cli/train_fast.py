@@ -127,6 +127,9 @@ def main(argv=None):
             save_dir=os.path.join(args.output_dir, "loso_pretrain"),
             epochs=args.loso_epochs, batch_size=cfg.train.batch_size,
             learning_rate=cfg.train.learning_rate, seed=cfg.train.seed,
+            mesh_axis=None if args.mesh == "none" else args.mesh,
+            checkpoint_dir=os.path.join(args.output_dir, "loso_pretrain", "checkpoints"),
+            resume=args.resume,
         )
         params0 = stack_pretrained_for_cv(pretrained, cfg.train.n_folds)
         _, state0 = stacked_init(

@@ -51,6 +51,40 @@ def shard_leading_axis(mesh: Mesh, tree, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_model_stack(mesh_axis: str, m_count: int, stacked_trees, replicated_trees=()):
+    """Place a stacked-model workload on a 1-D device mesh.
+
+    Pads every stacked tree's leading (model) axis to a multiple of the
+    mesh size with replicas of the last model (sharded axes must divide
+    the mesh), shards them along ``mesh_axis``, and replicates the rest.
+    Returns ``(padded_stacked, replicated, m_padded)`` — slice results
+    back to ``m_count`` afterwards.
+    """
+    import jax.numpy as jnp
+
+    mesh = make_mesh((mesh_axis,))
+    n_dev = int(mesh.devices.size)
+    m_pad = (-m_count) % n_dev
+    if m_pad:
+        stacked_trees = [
+            jax.tree.map(
+                lambda v: jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (m_pad,) + v.shape[1:])], axis=0
+                ),
+                t,
+            )
+            for t in stacked_trees
+        ]
+    stacked = NamedSharding(mesh, P(mesh_axis))
+    repl = NamedSharding(mesh, P())
+    put = lambda t, s: jax.tree.map(lambda v: jax.device_put(v, s), t)
+    return (
+        [put(t, stacked) for t in stacked_trees],
+        [put(t, repl) for t in replicated_trees],
+        m_count + m_pad,
+    )
+
+
 def batch_spec(axis_name: str = "data") -> P:
     return P(axis_name)
 

@@ -72,6 +72,36 @@ def plot_learning_curves(path: str, history: Dict[str, np.ndarray], title: str =
     return path
 
 
+def plot_averaged_fold_curves(
+    path: str, histories: Dict[str, np.ndarray], title: str = ""
+) -> str:
+    """Cross-fold averaged learning curves with a +/-1 std band
+    (reference LOFO trainer, ``deprecated/BCIC2020Track3_train.py:
+    350-386``). ``histories`` values are ``(n_folds, n_epochs)``."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    h = {k: np.asarray(v) for k, v in histories.items()}
+    plt.figure(figsize=(10, 4))
+    for i, (key, label) in enumerate(
+        [(("loss", "val_loss"), "Loss"), (("acc", "val_acc"), "Accuracy")]
+    ):
+        plt.subplot(1, 2, i + 1)
+        for name, color in zip(key, ("blue", "orange")):
+            if name not in h:
+                continue
+            mean, std = h[name].mean(axis=0), h[name].std(axis=0)
+            xs = np.arange(mean.shape[-1])
+            plt.plot(xs, mean, label=f"{name} (mean)", color=color)
+            plt.fill_between(xs, mean - std, mean + std, alpha=0.2, color=color)
+        plt.title(f"{title} {label} (fold avg)".strip())
+        plt.xlabel("Epoch")
+        plt.legend()
+        plt.grid(True, alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
 def save_predictions_csv(path: str, y_pred: np.ndarray, y_true: np.ndarray) -> str:
     """``Predicted,True`` integer rows (reference ``np.savetxt`` format)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -151,35 +151,17 @@ def train_per_subject_cv(
         # trains its slice of the (subject x fold) stack with zero
         # inter-chip collectives — the SPMD replacement for the
         # reference's process-per-GPU subject sharding
-        # (deprecated/BCIC2020Track3_run.sh:6-8). The corpus replicates.
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # (deprecated/BCIC2020Track3_run.sh:6-8). The corpus replicates;
+        # non-divisible stacks are padded with replicas and sliced back.
+        from ..parallel.mesh import shard_model_stack
 
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh((mesh_axis,))
-        n_dev = int(mesh.devices.size)
-        # Sharded axes must divide the mesh: pad the stack with replicas
-        # of the last model (trained redundantly, sliced off afterwards).
-        m_pad = (-m_count) % n_dev
-        m_padded = m_count + m_pad
-        if m_pad:
-            rep = lambda t: jax.tree.map(
-                lambda v: jnp.concatenate(
-                    [v, jnp.broadcast_to(v[-1:], (m_pad,) + v.shape[1:])], axis=0
-                ),
-                t,
+        (fit_keys, params0, state0, tidx_d, vidx_d), (x_flat, y_flat), m_padded = (
+            shard_model_stack(
+                mesh_axis, m_count,
+                [fit_keys, params0, state0, tidx_d, vidx_d],
+                [x_flat, y_flat],
             )
-            fit_keys, params0, state0, tidx_d, vidx_d = (
-                rep(fit_keys), rep(params0), rep(state0), rep(tidx_d), rep(vidx_d),
-            )
-        stacked = NamedSharding(mesh, P(mesh_axis))
-        repl = NamedSharding(mesh, P())
-        put = lambda t, s: jax.tree.map(lambda v: jax.device_put(v, s), t)
-        fit_keys, params0, state0, tidx_d, vidx_d = (
-            put(fit_keys, stacked), put(params0, stacked), put(state0, stacked),
-            put(tidx_d, stacked), put(vidx_d, stacked),
         )
-        x_flat, y_flat = put(x_flat, repl), put(y_flat, repl)
 
     def progress(done_epochs, hist):
         if verbose:

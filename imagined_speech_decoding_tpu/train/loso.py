@@ -80,6 +80,9 @@ def pretrain_loso(
     seed: int = 42,
     data_dtype=None,
     verbose: bool = True,
+    mesh_axis: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> List:
     """Train all LOSO-pretrained models at once; save best-val weights.
 
@@ -110,13 +113,31 @@ def pretrain_loso(
         warmup_epochs=warmup_epochs, data_dtype=data_dtype, total_epochs=epochs,
     )
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), s_count)
+    tidx_d, vidx_d = jnp.asarray(train_idx), jnp.asarray(val_idx)
+    m_padded = s_count
+    if mesh_axis:
+        # Shard the 15-exclusion sweep over the device mesh (BASELINE
+        # config #5: LOSO sweep parallel over v5e-8), padding to the
+        # mesh size; see parallel.mesh.shard_model_stack.
+        from ..parallel.mesh import shard_model_stack
+
+        (keys, params0, state0, tidx_d, vidx_d), (x_flat, y_flat), m_padded = (
+            shard_model_stack(
+                mesh_axis, s_count,
+                [keys, params0, state0, tidx_d, vidx_d],
+                [x_flat, y_flat],
+            )
+        )
     res: FitResult = jax.block_until_ready(
         fit_many_segmented(
             fit, keys, params0, state0,
-            jnp.asarray(train_idx), jnp.asarray(val_idx), x_flat, y_flat,
+            tidx_d, vidx_d, x_flat, y_flat,
             total_epochs=epochs,
+            checkpoint_dir=checkpoint_dir, resume=resume,
         )
     )
+    if m_padded != s_count:
+        res = jax.tree.map(lambda v: v[:s_count], res)
 
     best = []
     for si, sid in enumerate(subjects):

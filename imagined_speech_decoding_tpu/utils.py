@@ -56,8 +56,20 @@ def convert_to_number(s: str):
         return s
 
 
-def find_available_path(path: str) -> str:
-    """Return ``path`` if free, else ``path_1``, ``path_2``, ... first free one."""
+def first_existing_path(candidates) -> str:
+    """First EXISTING path from a candidate list (the reference's
+    ``find_available_path``, ``src/fast/utils.py:44-47`` — kept under a
+    name that says what it does)."""
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(f"none of the given paths exists: {list(candidates)}")
+
+
+def next_available_path(path: str) -> str:
+    """Return ``path`` if free, else ``path_1``, ``path_2``, ... first free
+    one (collision-avoiding output paths; intentionally NOT the
+    reference's same-named helper, which returns the first existing)."""
     if not os.path.exists(path):
         return path
     base, ext = os.path.splitext(path)
@@ -145,3 +157,8 @@ def seed_all(seed: int):
     random.seed(seed)
     np.random.seed(seed)
     return jax.random.PRNGKey(seed)
+
+
+# Deprecated alias: the reference's same-named function has the OPPOSITE
+# semantics (first existing path); use the explicit names above.
+find_available_path = next_available_path

@@ -269,3 +269,40 @@ class TestEarlyStopping:
     def test_disabled_by_default(self, small_config):
         res = self._fit(small_config)
         assert np.asarray(res.history["loss"]).shape == (6,)
+
+
+class TestFullBatchLOFO:
+    """Full-batch fold training (reference LOFO variant,
+    deprecated/BCIC2020Track3_train.py:252-396: batch_size=len(x_train),
+    averaged cross-fold curves)."""
+
+    def test_full_batch_fit_and_averaged_curves(self, small_config, tmp_path):
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+        from imagined_speech_decoding_tpu.train.artifacts import plot_averaged_fold_curves
+        from imagined_speech_decoding_tpu.train.cv import stacked_init
+        from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
+
+        model = make_fast_model(small_config)
+        rng = np.random.default_rng(0)
+        n, n_train = 24, 16
+        X = jnp.asarray(rng.normal(size=(n, small_config.n_channels, small_config.seq_len)).astype(np.float32))
+        Y = jnp.asarray(rng.integers(0, small_config.n_classes, n).astype(np.int32))
+        folds = 3
+        perms = np.stack([rng.permutation(n) for _ in range(folds)])
+        tidx = jnp.asarray(perms[:, :n_train])
+        vidx = jnp.asarray(perms[:, n_train:])
+        params0, state0 = stacked_init(model, jax.random.PRNGKey(0), folds)
+        # full-batch: batch_size == n_train -> exactly 1 step per epoch
+        fit = make_fit(model.apply, small_config.n_classes, epochs=4,
+                       batch_size=n_train, n_train=n_train, n_val=n - n_train,
+                       warmup_epochs=1)
+        keys = jax.random.split(jax.random.PRNGKey(1), folds)
+        res = jax.jit(lambda *a: fit_many(fit, *a))(
+            keys, params0, state0, tidx, vidx, X, Y
+        )
+        hist = {k: np.asarray(v) for k, v in res.history.items()}
+        assert hist["loss"].shape == (folds, 4)
+        assert np.isfinite(hist["loss"]).all()
+        out = plot_averaged_fold_curves(str(tmp_path / "avg.png"), hist, "LOFO")
+        import os
+        assert os.path.exists(out)

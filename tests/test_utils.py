@@ -11,6 +11,8 @@ from imagined_speech_decoding_tpu import (
     Tock,
     convert_to_number,
     find_available_path,
+    first_existing_path,
+    next_available_path,
     green,
     load_config,
     now,
@@ -32,11 +34,20 @@ class TestHelpers:
         assert convert_to_number("3.5") == 3.5
         assert convert_to_number("abc") == "abc"
 
-    def test_find_available_path(self, tmp_path):
+    def test_first_existing_path(self, tmp_path):
+        a, b = tmp_path / "a", tmp_path / "b"
+        b.write_text("x")
+        assert first_existing_path([str(a), str(b)]) == str(b)
+        import pytest as _pytest
+        with _pytest.raises(FileNotFoundError):
+            first_existing_path([str(a)])
+
+    def test_next_available_path(self, tmp_path):
         p = str(tmp_path / "f.txt")
-        assert find_available_path(p) == p
+        assert next_available_path(p) == p
         open(p, "w").close()
-        assert find_available_path(p) == str(tmp_path / "f_1.txt")
+        assert next_available_path(p) == str(tmp_path / "f_1.txt")
+        assert find_available_path is next_available_path  # deprecated alias
 
     def test_now_and_random_string(self):
         assert len(now("%Y")) == 4
