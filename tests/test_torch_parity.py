@@ -277,6 +277,7 @@ class TestTrainDynamicsParity:
         got_mean = np.asarray(new_state["head"]["bn1"].mean)[0]
         np.testing.assert_allclose(got_mean, ref_mean, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_one_adamw_step(self, ref):
         """Gradients + one AdamW step produce matching logits after update."""
         import optax
