@@ -206,6 +206,24 @@ def main():
         f"{time.perf_counter() - t0:.1f}s -> mean best val_acc {best_val:.4f} "
         f"(chance 0.2)")
 
+    # ---- online-decoding latency: the single jitted raw-window ->
+    # posterior graph (BASELINE.json's fixed-latency serving path) ----
+    from imagined_speech_decoding_tpu.serving import make_online_decoder
+
+    model1 = make_fast_model(cfg)
+    p1, s1 = model1.init(jax.random.PRNGKey(7))
+    decoder = make_online_decoder(model1.apply, p1, s1)
+    x1 = x_flat[:1].astype(jnp.float32)
+    np.asarray(decoder(x1))  # compile
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        np.asarray(decoder(x1))
+        lat.append(time.perf_counter() - t0)
+    lat_ms = float(np.median(lat) * 1e3)
+    log(f"bench: online decode latency (1 window, notch+bandpass+FAST) "
+        f"p50 {lat_ms:.2f} ms")
+
     total_windows = pre_windows + train_windows
     total_time = t_pre + t_train
     value = total_windows / total_time
@@ -222,6 +240,7 @@ def main():
             "epochs": BENCH_EPOCHS,
             "train_windows_per_s": round(train_windows / max(t_train, 1e-9), 1),
             "mean_best_val_acc_30ep": round(best_val, 4),
+            "online_decode_p50_ms": round(lat_ms, 2),
             "achieved_tflops": round(achieved_tflops, 2),
             "measured_peak_matmul_tflops": round(peak_tflops, 1),
             "mfu": round(mfu, 4),

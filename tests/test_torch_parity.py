@@ -314,3 +314,50 @@ class TestTrainDynamicsParity:
         np.testing.assert_allclose(
             np.asarray(logits_after), ref_logits_after, rtol=1e-3, atol=1e-5
         )
+
+
+class TestMultiStepDynamics:
+    @pytest.mark.slow
+    def test_ten_adamw_steps_track_torch(self, ref):
+        """10 full-batch AdamW steps: the JAX training trajectory tracks
+        the torch reference step-for-step (f32, no stochastic ops)."""
+        import optax
+
+        cfg, tm, params, state, x = _make_pair(ref, *HEAD_CASES[0])
+        y = np.array([0, 1, 2, 3], dtype=np.int64)
+        lr, wd = 5e-4, 0.01
+        tm.train()
+        opt_t = torch.optim.AdamW(tm.parameters(), lr=lr, weight_decay=wd)
+        opt_j = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+        opt_state = opt_j.init(params)
+
+        def loss_fn(p):
+            logits, _ = fast_apply(p, state, jnp.asarray(x), cfg, train=True, rng=None)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, jnp.asarray(y)[:, None], axis=-1))
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        torch_losses, jax_losses = [], []
+        for step in range(10):
+            loss_t = torch.nn.functional.cross_entropy(
+                tm(torch.from_numpy(x)), torch.from_numpy(y)
+            )
+            opt_t.zero_grad()
+            loss_t.backward()
+            opt_t.step()
+            torch_losses.append(float(loss_t.detach()))
+
+            loss_j, grads = grad_fn(params)
+            updates, opt_state = opt_j.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            jax_losses.append(float(loss_j))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-3)
+        # final logits agree after the full trajectory
+        tm.eval()
+        with torch.no_grad():
+            ref_logits = tm(torch.from_numpy(x)).numpy()
+        logits, _ = fast_apply(params, state, jnp.asarray(x), cfg, train=False)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-2, atol=2e-4)
+        # and the loss actually decreased (both sides trained)
+        assert jax_losses[-1] < jax_losses[0]
