@@ -43,8 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="resume from the segment checkpoint under --output_dir",
     )
     p.add_argument(
-        "--mesh", type=str, default="none", choices=["none", "model"],
-        help="shard the (subject x fold) model stack over the device mesh",
+        "--mesh", type=str, default="none", choices=["none", "model", "data", "2d"],
+        help="device-mesh strategy: shard the (subject x fold) model stack "
+             "('model'), shard every batch with gradient all-reduce ('data'), "
+             "or both over a 2-D mesh ('2d')",
     )
     p.add_argument(
         "--synthetic", type=int, default=0, metavar="N_SUBJECTS",

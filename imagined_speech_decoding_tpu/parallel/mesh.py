@@ -51,19 +51,23 @@ def shard_leading_axis(mesh: Mesh, tree, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def shard_model_stack(mesh_axis: str, m_count: int, stacked_trees, replicated_trees=()):
-    """Place a stacked-model workload on a 1-D device mesh.
+def shard_model_stack(
+    mesh_axis: str, m_count: int, stacked_trees, replicated_trees=(), mesh=None
+):
+    """Place a stacked-model workload on a device mesh.
 
     Pads every stacked tree's leading (model) axis to a multiple of the
-    mesh size with replicas of the last model (sharded axes must divide
-    the mesh), shards them along ``mesh_axis``, and replicates the rest.
-    Returns ``(padded_stacked, replicated, m_padded)`` — slice results
-    back to ``m_count`` afterwards.
+    mesh axis size with replicas of the last model (sharded axes must
+    divide the mesh), shards them along ``mesh_axis``, and replicates
+    the rest. Pass ``mesh`` to reuse an existing (possibly multi-axis)
+    mesh. Returns ``(padded_stacked, replicated, m_padded)`` — slice
+    results back to ``m_count`` afterwards.
     """
     import jax.numpy as jnp
 
-    mesh = make_mesh((mesh_axis,))
-    n_dev = int(mesh.devices.size)
+    if mesh is None:
+        mesh = make_mesh((mesh_axis,))
+    n_dev = int(mesh.shape[mesh_axis])
     m_pad = (-m_count) % n_dev
     if m_pad:
         stacked_trees = [

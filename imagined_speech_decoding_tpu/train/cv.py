@@ -124,6 +124,37 @@ def train_per_subject_cv(
         params0, state0 = warm_start  # e.g. LOSO-pretrained (see train.loso)
     else:
         params0, state0 = stacked_init(model, jax.random.PRNGKey(tc.seed), m_count)
+    # Mesh strategies (SURVEY §2.5):
+    #   'model' — shard the (subject x fold) stack; each chip trains its
+    #     slice with zero collectives (the SPMD replacement for the
+    #     reference's process-per-GPU subject sharding,
+    #     deprecated/BCIC2020Track3_run.sh:6-8);
+    #   'data'  — replicate the stack, shard every model's batch via a
+    #     GSPMD constraint (XLA inserts the gradient all-reduce);
+    #   '2d'    — both at once over a ('model', 'data') mesh.
+    # Non-divisible stacks are padded with replicas and sliced back.
+    batch_sharding = None
+    shard_stack_axis = None
+    if mesh_axis == "model":
+        shard_stack_axis = "model"
+    elif mesh_axis == "data":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        batch_sharding = NamedSharding(make_mesh(("data",)), P("data"))
+    elif mesh_axis == "2d":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh2d = make_mesh(("model", "data"), shape=(max(n_dev // 2, 1), 2 if n_dev > 1 else 1))
+        batch_sharding = NamedSharding(mesh2d, P("data"))
+        shard_stack_axis = ("2d", mesh2d)
+    elif mesh_axis:
+        raise ValueError(f"unknown mesh_axis {mesh_axis!r} (use model/data/2d)")
+
     # Segmented execution: one compiled `seg`-epoch program invoked
     # repeatedly (long single-program scans have crashed the TPU runtime;
     # segments also give natural resume points).
@@ -141,25 +172,25 @@ def train_per_subject_cv(
         weight_decay=tc.weight_decay,
         data_dtype=data_dtype,
         total_epochs=tc.max_epochs,
+        batch_sharding=batch_sharding,
     )
     fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), m_count)
 
     tidx_d, vidx_d = jnp.asarray(train_idx), jnp.asarray(val_idx)
     m_padded = m_count
-    if mesh_axis:
-        # Shard the stacked model axis over the device mesh: each chip
-        # trains its slice of the (subject x fold) stack with zero
-        # inter-chip collectives — the SPMD replacement for the
-        # reference's process-per-GPU subject sharding
-        # (deprecated/BCIC2020Track3_run.sh:6-8). The corpus replicates;
-        # non-divisible stacks are padded with replicas and sliced back.
+    if shard_stack_axis is not None:
         from ..parallel.mesh import shard_model_stack
 
+        kwargs = {}
+        if isinstance(shard_stack_axis, tuple):  # 2-D: reuse the 2d mesh
+            kwargs["mesh"] = shard_stack_axis[1]
+            shard_stack_axis = "model"
         (fit_keys, params0, state0, tidx_d, vidx_d), (x_flat, y_flat), m_padded = (
             shard_model_stack(
-                mesh_axis, m_count,
+                shard_stack_axis, m_count,
                 [fit_keys, params0, state0, tidx_d, vidx_d],
                 [x_flat, y_flat],
+                **kwargs,
             )
         )
 

@@ -85,6 +85,7 @@ def make_fit(
     total_epochs: Optional[int] = None,
     early_stop_threshold: Optional[float] = None,
     early_stop_patience: Optional[int] = None,
+    batch_sharding=None,
 ) -> Callable:
     """Build the single-model fit function (jit/vmap it at the call site).
 
@@ -113,7 +114,14 @@ def make_fit(
         x = jnp.take(X, gidx, axis=0)
         if data_dtype is not None:
             x = x.astype(data_dtype)
-        return x, jnp.take(Y, gidx, axis=0)
+        y = jnp.take(Y, gidx, axis=0)
+        if batch_sharding is not None:
+            # Data parallelism via GSPMD: constrain the gathered batch to
+            # the ('data',) mesh axis; XLA shards the forward/backward
+            # along it and inserts the gradient all-reduce automatically
+            # (equivalence with unsharded training is tested).
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+        return x, y
 
     def train_step(X, Y, carry, inp):
         params, mstate, opt_state = carry

@@ -174,3 +174,37 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestMeshStrategiesCV:
+    """cv.train_per_subject_cv under each mesh strategy matches the
+    unsharded run (same seeds -> same split/init/shuffle streams)."""
+
+    def _run(self, small_config, small_train_config, mesh_axis, tmp_path):
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+        from imagined_speech_decoding_tpu.train.cv import train_per_subject_cv
+
+        model = make_fast_model(small_config)
+        rng = np.random.default_rng(0)
+        s, n = 2, 12
+        X = rng.normal(size=(s, n, small_config.n_channels, small_config.seq_len)).astype(np.float32)
+        Y = rng.integers(0, small_config.n_classes, (s, n)).astype(np.int32)
+        return train_per_subject_cv(
+            model, small_train_config, X, Y, ["01", "02"],
+            small_config.n_classes, save_dir=None, verbose=False,
+            mesh_axis=mesh_axis,
+        )
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("mesh_axis", ["data", "2d"])
+    def test_matches_unsharded(self, small_config, small_train_config, mesh_axis, tmp_path):
+        base = self._run(small_config, small_train_config, None, tmp_path)
+        sharded = self._run(small_config, small_train_config, mesh_axis, tmp_path)
+        np.testing.assert_allclose(
+            np.asarray(sharded.fit.best_val_acc),
+            np.asarray(base.fit.best_val_acc), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.fit.history["loss"]),
+            np.asarray(base.fit.history["loss"]), rtol=1e-3, atol=1e-5,
+        )
