@@ -168,10 +168,12 @@ def main():
     # backend): per window-trial forward, conv12 as fused+scattered GEMM
     # 2*(Z*O)*(C*K1)*T1 + two tail convs 2*Z*(O*O*K2)*T1, transformer
     # ~2*6tok*(3+1+2)*dim^2 per trial (negligible), backward ~2x forward.
-    t1 = cfg.window_len - 4
+    k1 = 5  # Conv4Layers temporal kernel width (models/heads.py)
+    n_zones = len(cfg.zone_dict)
+    t1 = cfg.window_len - k1 + 1
     fwd_flops_per_window = (
-        2 * (8 * cfg.dim_cnn) * (cfg.n_channels * 5) * t1
-        + 2 * 2 * 8 * cfg.dim_cnn * cfg.dim_cnn * 5 * t1
+        2 * (n_zones * cfg.dim_cnn) * (cfg.n_channels * k1) * t1
+        + 2 * 2 * n_zones * cfg.dim_cnn * cfg.dim_cnn * k1 * t1
     )
     train_pass_windows = m_count * BENCH_EPOCHS * n_train * cfg.n_tokens
     eval_pass_windows = m_count * BENCH_EPOCHS * n_val * cfg.n_tokens

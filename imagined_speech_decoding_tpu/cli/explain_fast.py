@@ -52,13 +52,13 @@ def main(argv=None):
     )
     from imagined_speech_decoding_tpu.models.api import make_fast_model
     from imagined_speech_decoding_tpu.ops.spectral import band_stft_heatmap
-    from imagined_speech_decoding_tpu.train.checkpoint import load_state_dict
+    from imagined_speech_decoding_tpu.train.checkpoint import load_model_npz
 
     cfg = FASTConfig.default()
     model = make_fast_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     if args.checkpoint:
-        params = load_state_dict(args.checkpoint, params)
+        params, state, _ = load_model_npz(args.checkpoint, params, state)
 
     if args.synthetic or not args.cache:
         from imagined_speech_decoding_tpu.data import synthetic_trials

@@ -38,31 +38,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def transfer_matrix(model, params_stack, state_stack, tests, n_classes, batch_size=64):
+def transfer_matrix(model, params_stack, state_stack, tests, batch_size=64):
     """``(S_models)`` stacked params x ``tests`` [(x, y) per subject] →
     accuracy matrix (S_models, S_subjects). One vmapped jitted forward
-    per target subject; the corpus axis broadcasts."""
+    per (target subject, batch chunk); the data axis broadcasts across
+    models and ``batch_size`` bounds per-call activation memory."""
     import jax
     import jax.numpy as jnp
 
-    from ..train.metrics import accuracy
-
     @jax.jit
-    def all_models_logits(params, state, x):
+    def all_models_correct(params, state, x, y):
         def one(p, s):
             logits, _ = model.apply(p, s, x, train=False, rng=None)
-            return logits
+            return jnp.sum((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
 
-        return jax.vmap(one)(params, state)
+        return jax.vmap(one)(params, state)  # (S,) correct counts
 
     accs = []
     for x_t, y_t in tests:
-        x_t = jnp.asarray(x_t)
-        y_t = jnp.asarray(np.asarray(y_t).astype(np.int32))
-        logits = all_models_logits(params_stack, state_stack, x_t)  # (S, N, K)
-        accs.append(
-            [float(accuracy(logits[m], y_t)) for m in range(logits.shape[0])]
-        )
+        x_t = np.asarray(x_t)
+        y_t = np.asarray(y_t).astype(np.int32)
+        n = x_t.shape[0]
+        correct = 0.0
+        for lo in range(0, n, batch_size):
+            xb = jnp.asarray(x_t[lo : lo + batch_size])
+            yb = jnp.asarray(y_t[lo : lo + batch_size])
+            correct = correct + np.asarray(
+                all_models_correct(params_stack, state_stack, xb, yb)
+            )
+        accs.append(correct / max(n, 1))
     return np.asarray(accs).T  # (S_models, S_targets)
 
 
@@ -105,7 +109,7 @@ def main(argv=None):
 
     from ..config import load_config
     from ..models.api import make_fast_model
-    from ..train.checkpoint import load_state_dict
+    from ..train.checkpoint import load_model_npz
     from ..train.cv import stacked_init
 
     cfg = load_config(args.config if os.path.exists(args.config) else None, {})
@@ -168,8 +172,15 @@ def main(argv=None):
         ps, ss = [], []
         for sid in subjects:
             path = os.path.join(args.results_dir, f"sub-{sid}", "best_subject.npz")
-            ps.append(load_state_dict(path, template_p))
-            ss.append(template_s)
+            p, s, had_state = load_model_npz(path, template_p, template_s)
+            if not had_state and jax.tree.leaves(template_s):
+                print(
+                    f"WARNING: {path} is a legacy params-only checkpoint but the "
+                    f"{cfg.model.head} head is stateful — evaluating with INIT "
+                    "batch-norm statistics (retrain to persist state)."
+                )
+            ps.append(p)
+            ss.append(s)
         params_stack = jax.tree.map(lambda *x: jax.numpy.stack(x), *ps)
         state_stack = (
             jax.tree.map(lambda *x: jax.numpy.stack(x), *ss)
@@ -179,7 +190,7 @@ def main(argv=None):
         out_dir = args.output_dir or os.path.join(args.results_dir, "zero_shot")
 
     matrix = transfer_matrix(
-        model, params_stack, state_stack, tests, cfg.model.n_classes, args.batch_size
+        model, params_stack, state_stack, tests, args.batch_size
     )
     csv_path, png_path = save_artifacts(out_dir, matrix, subjects)
 

@@ -260,8 +260,12 @@ def _bwd_x_kernel(g_ref, xt_ref, w12_ref, b12_ref, w3_ref, w4_ref, dxw_ref, *, c
 
 
 def _pick_block(b: int, target: int = 8) -> int:
-    """Largest divisor of b that is <= target."""
-    return max(d for d in range(1, min(b, target) + 1) if b % d == 0)
+    """Largest divisor of b that is <= target AND a sublane multiple (8)
+    — per-cell dynamic store offsets (i*bt) must be 8-aligned. When no
+    such divisor exists (b < 8 or b odd), fall back to the whole batch
+    as one block (a single cell stores at offset 0, always legal)."""
+    aligned = [d for d in range(8, min(b, target) + 1, 8) if b % d == 0]
+    return max(aligned) if aligned else b
 
 
 def _cfg_of(t: int, window_len: int, step: int, k1: int = 5, k2: int = 5):

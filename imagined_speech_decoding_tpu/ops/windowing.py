@@ -29,13 +29,22 @@ def sliding_window(x: jnp.ndarray, window_len: int, step: int) -> jnp.ndarray:
     """
     t = x.shape[-1]
     n = num_windows(t, window_len, step)
-    # N static contiguous slices, stacked. A fancy-index gather here
-    # (x[..., idx]) lowers to a TPU gather — scalar-unit bound and ~100x
-    # slower than these pure copies, which XLA often fuses into consumers.
-    return jnp.stack(
-        [jax.lax.slice_in_dim(x, s * step, s * step + window_len, axis=-1) for s in range(n)],
-        axis=-2,
-    )
+    if n <= 32:
+        # N static contiguous slices, stacked. A fancy-index gather here
+        # (x[..., idx]) lowers to a TPU gather — scalar-unit bound and
+        # ~100x slower than pure copies that XLA fuses into consumers.
+        return jnp.stack(
+            [
+                jax.lax.slice_in_dim(x, s * step, s * step + window_len, axis=-1)
+                for s in range(n)
+            ],
+            axis=-2,
+        )
+    # Dense tokenization (small step_override -> hundreds of windows):
+    # unrolled slices would balloon the HLO; one gather stays a single op.
+    starts = np.arange(n)[:, None] * step
+    offs = np.arange(window_len)[None, :]
+    return x[..., jnp.asarray(starts + offs)]
 
 
 def edge_pad(x: jnp.ndarray, target_len: int) -> jnp.ndarray:

@@ -89,6 +89,32 @@ def shard_model_stack(
     )
 
 
+def mesh_strategy(mesh_axis: Optional[str]):
+    """Resolve a CLI mesh strategy name into concrete placement pieces.
+
+    Returns ``(batch_sharding, stack_axis, stack_mesh)``:
+      * ``batch_sharding`` — NamedSharding for per-model batches (GSPMD
+        DP with automatic grad all-reduce), or None;
+      * ``stack_axis`` — mesh axis name to shard the model stack along
+        (see ``shard_model_stack``), or None;
+      * ``stack_mesh`` — the mesh to use for stack sharding (None =
+        build a fresh 1-D mesh).
+    """
+    if not mesh_axis:
+        return None, None, None
+    if mesh_axis == "model":
+        return None, "model", None
+    if mesh_axis == "data":
+        return NamedSharding(make_mesh(("data",)), P("data")), None, None
+    if mesh_axis == "2d":
+        n_dev = len(jax.devices())
+        mesh2d = make_mesh(
+            ("model", "data"), shape=(max(n_dev // 2, 1), 2 if n_dev > 1 else 1)
+        )
+        return NamedSharding(mesh2d, P("data")), "model", mesh2d
+    raise ValueError(f"unknown mesh strategy {mesh_axis!r} (use model/data/2d)")
+
+
 def batch_spec(axis_name: str = "data") -> P:
     return P(axis_name)
 

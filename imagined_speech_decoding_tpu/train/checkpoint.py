@@ -111,6 +111,28 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     return restored
 
 
+def save_model_npz(path: str, params: Any, state: Any) -> str:
+    """Persist a model as params + mutable state (BN running stats) in one
+    flat ``.npz`` — the analogue of a torch ``state_dict``, which carries
+    buffers alongside weights."""
+    return save_state_dict(path, {"params": params, "state": state})
+
+
+def load_model_npz(path: str, params_template: Any, state_template: Any):
+    """Load ``save_model_npz`` output; also accepts legacy params-only
+    files (state falls back to the template — only exact for stateless
+    heads, so callers should warn when the template state is non-empty).
+    Returns ``(params, state, had_state)``."""
+    with np.load(path) as data:
+        keys = set(data.files)
+    if any(k.startswith("params.") for k in keys):
+        tree = load_state_dict(
+            path, {"params": params_template, "state": state_template}, strip_prefix=""
+        )
+        return tree["params"], tree["state"], True
+    return load_state_dict(path, params_template), state_template, False
+
+
 def select_model(result_tree: Any, index: int) -> Any:
     """Slice one model out of a stacked (vmapped) result pytree."""
     return jax.tree.map(lambda v: v[index], result_tree)

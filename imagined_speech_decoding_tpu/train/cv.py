@@ -32,7 +32,7 @@ from ..config import FASTConfig, TrainConfig
 from ..data.arrays import to_device
 from ..utils import green
 from . import artifacts
-from .checkpoint import save_state_dict, select_model
+from .checkpoint import save_model_npz, select_model
 from .engine import FitResult, ModelDef, fit_many, fit_many_segmented, make_fit, predict
 from .metrics import confusion_matrix, f1_from_confusion
 
@@ -133,27 +133,9 @@ def train_per_subject_cv(
     #     GSPMD constraint (XLA inserts the gradient all-reduce);
     #   '2d'    — both at once over a ('model', 'data') mesh.
     # Non-divisible stacks are padded with replicas and sliced back.
-    batch_sharding = None
-    shard_stack_axis = None
-    if mesh_axis == "model":
-        shard_stack_axis = "model"
-    elif mesh_axis == "data":
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import mesh_strategy
 
-        from ..parallel.mesh import make_mesh
-
-        batch_sharding = NamedSharding(make_mesh(("data",)), P("data"))
-    elif mesh_axis == "2d":
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import make_mesh
-
-        n_dev = len(jax.devices())
-        mesh2d = make_mesh(("model", "data"), shape=(max(n_dev // 2, 1), 2 if n_dev > 1 else 1))
-        batch_sharding = NamedSharding(mesh2d, P("data"))
-        shard_stack_axis = ("2d", mesh2d)
-    elif mesh_axis:
-        raise ValueError(f"unknown mesh_axis {mesh_axis!r} (use model/data/2d)")
+    batch_sharding, shard_stack_axis, stack_mesh = mesh_strategy(mesh_axis)
 
     # Segmented execution: one compiled `seg`-epoch program invoked
     # repeatedly (long single-program scans have crashed the TPU runtime;
@@ -181,22 +163,19 @@ def train_per_subject_cv(
     if shard_stack_axis is not None:
         from ..parallel.mesh import shard_model_stack
 
-        kwargs = {}
-        if isinstance(shard_stack_axis, tuple):  # 2-D: reuse the 2d mesh
-            kwargs["mesh"] = shard_stack_axis[1]
-            shard_stack_axis = "model"
         (fit_keys, params0, state0, tidx_d, vidx_d), (x_flat, y_flat), m_padded = (
             shard_model_stack(
                 shard_stack_axis, m_count,
                 [fit_keys, params0, state0, tidx_d, vidx_d],
                 [x_flat, y_flat],
-                **kwargs,
+                mesh=stack_mesh,
             )
         )
 
     def progress(done_epochs, hist):
         if verbose:
-            va = float(np.mean(np.asarray(hist["val_acc"][:, -1])))
+            # slice off mesh-padding replicas so the live mean is unbiased
+            va = float(np.mean(np.asarray(hist["val_acc"][:m_count, -1])))
             print(f"  epoch {done_epochs}/{tc.max_epochs}: mean val_acc {va:.4f}")
 
     res: FitResult = jax.block_until_ready(
@@ -240,8 +219,11 @@ def train_per_subject_cv(
         best_params = select_model(res.best_params, best_m)
         best_mstate = select_model(res.best_model_state, best_m)
         if save_dir:
-            save_state_dict(
-                os.path.join(save_dir, f"sub-{sid}", "best_subject.npz"), best_params
+            # params + mutable state (BN running stats) — like a torch
+            # state_dict, whose buffers ride along with the weights.
+            save_model_npz(
+                os.path.join(save_dir, f"sub-{sid}", "best_subject.npz"),
+                best_params, best_mstate,
             )
 
         test_acc, test_f1 = np.nan, np.nan

@@ -106,26 +106,30 @@ def pretrain_loso(
     y_flat = to_device(Y.reshape(-1).astype(np.int32))
 
     params0, state0 = stacked_init(model, jax.random.PRNGKey(seed), s_count)
+    # Mesh strategy (same semantics as train_per_subject_cv): 'model'
+    # shards the 15-exclusion sweep (BASELINE config #5: LOSO sweep
+    # parallel over v5e-8), 'data' shards each model's batch with an
+    # automatic gradient all-reduce, '2d' does both.
+    from ..parallel.mesh import mesh_strategy, shard_model_stack
+
+    batch_sharding, stack_axis, stack_mesh = mesh_strategy(mesh_axis)
     seg = min(25, epochs)
     fit = make_fit(
         model.apply, n_classes, epochs=seg, batch_size=batch_size,
         n_train=n_train, n_val=n_val, learning_rate=learning_rate,
         warmup_epochs=warmup_epochs, data_dtype=data_dtype, total_epochs=epochs,
+        batch_sharding=batch_sharding,
     )
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), s_count)
     tidx_d, vidx_d = jnp.asarray(train_idx), jnp.asarray(val_idx)
     m_padded = s_count
-    if mesh_axis:
-        # Shard the 15-exclusion sweep over the device mesh (BASELINE
-        # config #5: LOSO sweep parallel over v5e-8), padding to the
-        # mesh size; see parallel.mesh.shard_model_stack.
-        from ..parallel.mesh import shard_model_stack
-
+    if stack_axis is not None:
         (keys, params0, state0, tidx_d, vidx_d), (x_flat, y_flat), m_padded = (
             shard_model_stack(
-                mesh_axis, s_count,
+                stack_axis, s_count,
                 [keys, params0, state0, tidx_d, vidx_d],
                 [x_flat, y_flat],
+                mesh=stack_mesh,
             )
         )
     res: FitResult = jax.block_until_ready(

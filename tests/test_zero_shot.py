@@ -43,6 +43,6 @@ class TestZeroShotCLI:
             )
             for _ in range(2)
         ]
-        m = transfer_matrix(model, params, state, tests, small_config.n_classes)
+        m = transfer_matrix(model, params, state, tests, batch_size=4)
         assert m.shape == (2, 2)
         assert ((m >= 0) & (m <= 1)).all()
