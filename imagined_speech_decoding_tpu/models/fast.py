@@ -146,7 +146,7 @@ def fast_forward_head(
     b = x.shape[0]
     n = (x.shape[-1] - cfg.window_len) // step + 1
 
-    from .heads import conv4layers_fused_all_zones, get_head
+    from .heads import conv4layers_fused_all_zones_fullseq, get_head
 
     if cfg.head == "Conv4Layers":
         if _pallas_head_enabled():
@@ -167,14 +167,12 @@ def fast_forward_head(
             return feat, {"head": state["head"]}
 
         # Gather-free fast path: zone selection folded into conv weights,
-        # whole head as batched GEMMs (see heads.conv4layers_fused_all_zones).
-        def head_of(xc):  # (B', C, T) -> (B'*n, Z, F)
-            wc = sliding_window(xc, cfg.window_len, step)  # (B', C, N, W)
-            wc = jnp.moveaxis(wc, 2, 1).reshape(
-                xc.shape[0] * n, xc.shape[1], cfg.window_len
-            )
-            return conv4layers_fused_all_zones(
-                params["head"], wc, layout.indices, layout.mask
+        # the (shift-invariant) first conv run once over the full sequence
+        # with windows sliced from its output, tails as batched GEMMs
+        # (see heads.conv4layers_fused_all_zones_fullseq).
+        def head_of(xc):  # (B', C, T) -> (B', n, Z, F)
+            return conv4layers_fused_all_zones_fullseq(
+                params["head"], xc, layout.indices, layout.mask, cfg.window_len, step
             )
 
         if remat:
@@ -192,7 +190,6 @@ def fast_forward_head(
         if tpc and b > tpc:
             chunks = x.reshape(b // tpc, tpc, *x.shape[1:])
             feat = jax.lax.map(head_of, chunks)
-            feat = feat.reshape(b * n, layout.n_zones, cfg.dim_cnn)
         else:
             feat = head_of(x)
         feat = feat.reshape(b, n, layout.n_zones, cfg.dim_cnn)

@@ -120,53 +120,152 @@ def _zone_scatter(indices, mask, c_full: int):
     return s
 
 
-def conv4layers_fused_all_zones(params, x, indices, mask):
-    """All-zones Conv4Layers over UN-gathered input: ``x (B, C_full, T)``
-    → ``(B, Z, dim)``.
-
-    The gather-free fast path for the default head: zone channel
-    selection is folded into the fused temporal→spatial conv weights
-    (a static scatter to full-montage width), so the whole head is a
-    handful of batched GEMMs over a (Z,) batch axis — no TPU gathers,
-    no per-zone vmap (which would lower to Z-group grouped convs).
-    ``params`` are the zone-stacked Conv4Layers params from ``head_init``.
-    Exact-equivalence with the gather+vmap path is tested.
-    """
+def _conv4_fused_w12(params, indices, mask, c_full: int, dtype):
+    """Zone-stacked Conv4Layers params → gather-free fused first conv:
+    temporal∘spatial fusion (cf. ``_fuse_temporal_spatial``) + zone
+    scatter to full-montage width. Returns ``(w12 (Z, O, C_full, K),
+    b12 (Z, O))``."""
     z_mask = jnp.asarray(mask)
     wt = params["cnn1"]["w"][:, :, 0, 0, :]  # (Z, F, K)
     bt = params["cnn1"]["b"]  # (Z, F)
     ws = params["cnn2"]["w"][:, :, :, :, 0]  # (Z, O, F, C_max)
-    s = jnp.asarray(_zone_scatter(indices, mask, x.shape[1]), wt.dtype)
-    # temporal∘spatial fusion (cf. _fuse_temporal_spatial) + zone scatter
+    s = jnp.asarray(_zone_scatter(indices, mask, c_full), wt.dtype)
     w12 = jnp.einsum("zofc,zfk,zcC->zoCk", ws, wt, s)  # (Z, O, C_full, K)
     b12 = jnp.einsum("zofc,zc,zf->zo", ws, z_mask.astype(ws.dtype), bt)
-    w12 = w12.astype(x.dtype)
+    return w12.astype(dtype), b12.astype(dtype)
 
-    # Each conv runs as ONE dot_general contracting (channels x taps): the
-    # K-tap patch stack (jnp.stack of static slices — a single fused copy)
-    # raises the contraction to 320/160 for the MXU. Measured on the
-    # available chip this ties the best of several formulations tried
-    # (grouped convs, per-tap shifted GEMMs, time-major GEMMs).
-    def patches(v, k):  # (..., T) -> (..., T-K+1, K)
-        t_out = v.shape[-1] - k + 1
-        return jnp.stack(
-            [jax.lax.slice_in_dim(v, i, i + t_out, axis=-1) for i in range(k)], axis=-1
-        )
 
-    k = w12.shape[-1]
-    xp = patches(x, k)  # (B, C_full, T1, K)
-    h = jnp.einsum("bCtk,zoCk->bzot", xp, w12, preferred_element_type=x.dtype)
-    h = h + b12.astype(x.dtype)[None, :, :, None]  # (B, Z, O, T1)
+def _patches(v, k):
+    """(..., T) -> (..., T-K+1, K): K-tap patch stack as a jnp.stack of
+    static slices (a single fused copy). Raises each conv's contraction
+    to (channels x taps) for the MXU — measured best of several
+    formulations tried (grouped convs, per-tap shifted GEMMs,
+    time-major GEMMs)."""
+    t_out = v.shape[-1] - k + 1
+    return jnp.stack(
+        [jax.lax.slice_in_dim(v, i, i + t_out, axis=-1) for i in range(k)], axis=-1
+    )
 
+
+def _conv4_impl(which: str) -> str:
+    """Formulation knobs for the fused Conv4Layers fast path, settable via
+    ``ISD_CONV4_FIRST`` (first conv: ``gemm`` patch-GEMM | ``conv`` native
+    XLA conv) and ``ISD_CONV4_TAILS`` (``pertap`` accumulated shifted
+    GEMMs | ``patches`` K-tap patch-stack GEMM | ``conv`` native XLA
+    grouped conv). Defaults are the measured-fastest on the available
+    chip: the program is HBM-bandwidth-bound, and XLA's native conv
+    emitter tiles the tail convs in VMEM without materializing the
+    K-tap patch stack — less traffic AND less live memory, which in
+    turn admits 4x larger head chunks (59k vs 35k windows/s measured;
+    see docs/PERFORMANCE.md)."""
+    import os
+
+    defaults = {"first": "gemm", "tails": "conv"}
+    return os.environ.get(f"ISD_CONV4_{which.upper()}", defaults[which])
+
+
+def _conv4_tails(params, h):
+    """cnn3/cnn4 ('same'-padded, zone-batched) + GELU + time-mean:
+    ``h (B, Z, O, T1) -> (B, Z, O)``. Three formulations (same math,
+    different HBM-traffic/FLOP trade — see ``_conv4_impl``)."""
+    impl = _conv4_impl("tails")
+    b, z, o, t1 = h.shape
     for name in ("cnn3", "cnn4"):
-        w = params[name]["w"][:, :, :, 0, :].astype(x.dtype)  # (Z, O, I, K)
+        w = params[name]["w"][:, :, :, 0, :].astype(h.dtype)  # (Z, O, I, K)
         kk = w.shape[-1]
-        hp = jnp.pad(h, [(0, 0), (0, 0), (0, 0), (kk // 2, kk // 2)])
-        h = jnp.einsum(
-            "bzitk,zoik->bzot", patches(hp, kk), w, preferred_element_type=x.dtype
-        )
+        if impl == "conv":
+            # One native grouped conv (group = zone): XLA's conv emitter
+            # tiles in VMEM without materializing shifted copies.
+            out = jax.lax.conv_general_dilated(
+                h.reshape(b, z * w.shape[2], 1, t1),
+                w.reshape(z * o, w.shape[2], 1, kk),
+                window_strides=(1, 1),
+                padding=[(0, 0), (kk // 2, kk // 2)],
+                feature_group_count=z,
+            )
+            h = out.reshape(b, z, o, t1)
+        elif impl == "pertap":
+            # K accumulated shifted GEMMs: K reads of h, no K-tap stack.
+            hp = jnp.pad(h, [(0, 0), (0, 0), (0, 0), (kk // 2, kk // 2)])
+            acc = None
+            for k in range(kk):
+                hk = jax.lax.slice_in_dim(hp, k, k + t1, axis=-1)
+                term = jnp.einsum(
+                    "bzit,zoi->bzot", hk, w[..., k], preferred_element_type=h.dtype
+                )
+                acc = term if acc is None else acc + term
+            h = acc
+        else:  # "patches"
+            hp = jnp.pad(h, [(0, 0), (0, 0), (0, 0), (kk // 2, kk // 2)])
+            h = jnp.einsum(
+                "bzitk,zoik->bzot", _patches(hp, kk), w, preferred_element_type=h.dtype
+            )
     h = jax.nn.gelu(h, approximate=False)
     return jnp.mean(h, axis=-1)  # (B, Z, O)
+
+
+def _conv4_first(w12, b12, x):
+    """The fused temporal→spatial first conv (valid): ``x (B, C_full, T)``
+    × ``w12 (Z, O, C_full, K)`` → ``(B, Z, O, T-K+1)``."""
+    z, o, c, k = w12.shape
+    if _conv4_impl("first") == "conv":
+        out = jax.lax.conv_general_dilated(
+            x[:, :, None, :],
+            w12.reshape(z * o, c, 1, k),
+            window_strides=(1, 1),
+            padding="VALID",
+        )
+        h = out.reshape(x.shape[0], z, o, -1)
+    else:  # "gemm": K-tap patch stack raises the contraction to C*K
+        xp = _patches(x, k)  # (B, C_full, T1, K)
+        h = jnp.einsum("bCtk,zoCk->bzot", xp, w12, preferred_element_type=x.dtype)
+    return h + b12[None, :, :, None]
+
+
+def conv4layers_fused_all_zones(params, x, indices, mask):
+    """All-zones Conv4Layers over UN-gathered input: ``x (B, C_full, T)``
+    → ``(B, Z, dim)``.
+
+    The gather-free path for the default head: zone channel selection is
+    folded into the fused temporal→spatial conv weights (a static
+    scatter to full-montage width), so the whole head is a handful of
+    batched GEMMs over a (Z,) batch axis — no TPU gathers, no per-zone
+    vmap (which would lower to Z-group grouped convs). ``params`` are
+    the zone-stacked Conv4Layers params from ``head_init``.
+    Exact-equivalence with the gather+vmap path is tested.
+    """
+    w12, b12 = _conv4_fused_w12(params, indices, mask, x.shape[1], x.dtype)
+    h = _conv4_first(w12, b12, x)  # (B, Z, O, T1)
+    return _conv4_tails(params, h)
+
+
+def conv4layers_fused_all_zones_fullseq(params, x, indices, mask, window_len, step):
+    """All-zones Conv4Layers over full UN-windowed sequences:
+    ``x (B, C_full, T_seq)`` → ``(B, N, Z, dim)``.
+
+    The production fast path: the fused temporal→spatial conv is a
+    *valid* (un-padded) conv, hence shift-invariant — so it runs ONCE
+    over the whole sequence and each sliding window's conv output is a
+    slice of the full-sequence output (window at offset s ≡ rows
+    [s, s + window_len - K + 1)). At the canonical 800/250/125 geometry
+    the 5 windows overlap 50%, so this does the dominant conv's FLOPs on
+    796 samples instead of 5x246 = 1230 — a 1.55x cut (and the same cut
+    in HBM traffic). The zero-padded tail convs are window-local
+    (padding semantics differ at window edges) and stay per-window.
+    Exact-equivalence with the windowed path is tested.
+    """
+    b, _, t_seq = x.shape
+    n = (t_seq - window_len) // step + 1
+    w12, b12 = _conv4_fused_w12(params, indices, mask, x.shape[1], x.dtype)
+    k = w12.shape[-1]
+    t1 = window_len - k + 1
+    h = _conv4_first(w12, b12, x)  # (B, Z, O, T_seq-K+1)
+    hw = jnp.stack(
+        [jax.lax.slice_in_dim(h, i * step, i * step + t1, axis=-1) for i in range(n)],
+        axis=1,
+    )  # (B, N, Z, O, T1)
+    hw = hw.reshape(b * n, *hw.shape[2:])
+    return _conv4_tails(params, hw).reshape(b, n, *hw.shape[1:3])
 
 
 def conv4layers_prepare_fused_weights(params, indices, mask, c_full: int):

@@ -169,6 +169,127 @@ class TestMaskedZoneEquivalence:
             )
 
 
+class TestFusedFullseqEquivalence:
+    """The production Conv4Layers fast path (fused first conv over the
+    FULL sequence, windows sliced from its output) must equal the
+    per-window fused path and the gather+vmap reference path — values
+    and gradients."""
+
+    def _setup(self):
+        from imagined_speech_decoding_tpu.data.constants import zone_layout
+        from imagined_speech_decoding_tpu.models.heads import head_init
+
+        electrodes = tuple(f"E{i}" for i in range(10))
+        zones = {
+            "A": ("E0", "E1", "E2", "E3"),
+            "B": ("E4", "E5"),
+            "C": ("E6", "E7", "E8", "E9"),
+        }
+        layout = zone_layout(electrodes, zones)
+        params, _ = head_init(jax.random.PRNGKey(3), "Conv4Layers",
+                              layout.n_zones, layout.c_max, 8, 64)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(3, 10, 160)).astype(np.float32))
+        return layout, params, x
+
+    def test_fullseq_equals_windowed(self):
+        from imagined_speech_decoding_tpu.models.heads import (
+            conv4layers_fused_all_zones,
+            conv4layers_fused_all_zones_fullseq,
+        )
+        from imagined_speech_decoding_tpu.ops.windowing import sliding_window
+
+        layout, params, x = self._setup()
+        window_len, step = 64, 32
+        n = (x.shape[-1] - window_len) // step + 1
+
+        full = conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, window_len, step
+        )
+        w = sliding_window(x, window_len, step)  # (B, C, N, W)
+        w = jnp.moveaxis(w, 2, 1).reshape(x.shape[0] * n, x.shape[1], window_len)
+        per_window = conv4layers_fused_all_zones(
+            params, w, layout.indices, layout.mask
+        ).reshape(x.shape[0], n, layout.n_zones, 8)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(per_window), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fullseq_equals_gather_vmap(self):
+        from imagined_speech_decoding_tpu.models.heads import (
+            conv4layers_fused_all_zones_fullseq,
+            head_apply,
+        )
+        from imagined_speech_decoding_tpu.ops.windowing import sliding_window
+
+        layout, params, x = self._setup()
+        window_len, step = 64, 32
+        n = (x.shape[-1] - window_len) // step + 1
+
+        full = conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, window_len, step
+        )
+        w = sliding_window(x, window_len, step)
+        w = jnp.moveaxis(w, 2, 1).reshape(x.shape[0] * n, x.shape[1], window_len)
+        xz, zmask = zone_gather(w, layout.indices, layout.mask)
+        ref, _ = head_apply("Conv4Layers", params, {}, xz, zmask, train=False)
+        ref = ref.reshape(x.shape[0], n, layout.n_zones, 8)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    @pytest.mark.parametrize("first", ["gemm", "conv"])
+    @pytest.mark.parametrize("tails", ["patches", "pertap", "conv"])
+    def test_formulations_agree(self, first, tails, monkeypatch):
+        """All first-conv x tails formulation knobs compute the same head."""
+        from imagined_speech_decoding_tpu.models.heads import (
+            conv4layers_fused_all_zones_fullseq,
+        )
+
+        layout, params, x = self._setup()
+        monkeypatch.delenv("ISD_CONV4_FIRST", raising=False)
+        monkeypatch.delenv("ISD_CONV4_TAILS", raising=False)
+        ref = np.asarray(conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, 64, 32
+        ))
+        monkeypatch.setenv("ISD_CONV4_FIRST", first)
+        monkeypatch.setenv("ISD_CONV4_TAILS", tails)
+        out = np.asarray(conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, 64, 32
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_fullseq_gradients_match_windowed(self):
+        from imagined_speech_decoding_tpu.models.heads import (
+            conv4layers_fused_all_zones,
+            conv4layers_fused_all_zones_fullseq,
+        )
+        from imagined_speech_decoding_tpu.ops.windowing import sliding_window
+
+        layout, params, x = self._setup()
+        window_len, step = 64, 32
+        n = (x.shape[-1] - window_len) // step + 1
+
+        def loss_full(p):
+            f = conv4layers_fused_all_zones_fullseq(
+                p, x, layout.indices, layout.mask, window_len, step
+            )
+            return jnp.sum(f * f)
+
+        def loss_win(p):
+            w = sliding_window(x, window_len, step)
+            w = jnp.moveaxis(w, 2, 1).reshape(x.shape[0] * n, x.shape[1], window_len)
+            f = conv4layers_fused_all_zones(p, w, layout.indices, layout.mask)
+            return jnp.sum(f * f)
+
+        g_full = jax.grad(loss_full)(params)
+        g_win = jax.grad(loss_win)(params)
+        for gf, gw in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_win)):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gw), rtol=2e-4, atol=2e-4
+            )
+
+
 class TestHeadFamilies:
     @pytest.mark.parametrize("head_name", list(HEAD_REGISTRY))
     def test_output_shape(self, head_name):
