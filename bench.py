@@ -168,14 +168,18 @@ def main():
 
     # ---- roofline: achieved FLOPs vs this chip's measured matmul peak.
     # Analytic FLOP count (XLA cost_analysis under-reports on this remote
-    # backend): per window-trial forward, conv12 as fused+scattered GEMM
-    # 2*(Z*O)*(C*K1)*T1 + two tail convs 2*Z*(O*O*K2)*T1, transformer
-    # ~2*6tok*(3+1+2)*dim^2 per trial (negligible), backward ~2x forward.
+    # backend): the fused first conv runs ONCE over the full sequence
+    # (shift-invariant valid conv; windows are slices of its output), so
+    # its per-trial cost is 2*(Z*O)*(C*K1)*(T_seq-K1+1) amortized over
+    # n_tokens windows; the two window-local tail convs are
+    # 2*Z*(O*O*K2)*T1 per window. Transformer ~2*6tok*6*dim^2 per trial
+    # (negligible), backward ~2x forward.
     k1 = 5  # Conv4Layers temporal kernel width (models/heads.py)
     n_zones = len(cfg.zone_dict)
     t1 = cfg.window_len - k1 + 1
+    t_full = cfg.seq_len - k1 + 1
     fwd_flops_per_window = (
-        2 * (n_zones * cfg.dim_cnn) * (cfg.n_channels * k1) * t1
+        2 * (n_zones * cfg.dim_cnn) * (cfg.n_channels * k1) * t_full // cfg.n_tokens
         + 2 * 2 * n_zones * cfg.dim_cnn * cfg.dim_cnn * k1 * t1
     )
     train_pass_windows = m_count * BENCH_EPOCHS * n_train * cfg.n_tokens
