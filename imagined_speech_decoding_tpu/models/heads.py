@@ -173,18 +173,7 @@ def _conv4_tails(params, h):
     for name in ("cnn3", "cnn4"):
         w = params[name]["w"][:, :, :, 0, :].astype(h.dtype)  # (Z, O, I, K)
         kk = w.shape[-1]
-        if impl == "conv":
-            # One native grouped conv (group = zone): XLA's conv emitter
-            # tiles in VMEM without materializing shifted copies.
-            out = jax.lax.conv_general_dilated(
-                h.reshape(b, z * w.shape[2], 1, t1),
-                w.reshape(z * o, w.shape[2], 1, kk),
-                window_strides=(1, 1),
-                padding=[(0, 0), (kk // 2, kk // 2)],
-                feature_group_count=z,
-            )
-            h = out.reshape(b, z, o, t1)
-        elif impl == "pertap":
+        if impl == "pertap":
             # K accumulated shifted GEMMs: K reads of h, no K-tap stack.
             hp = jnp.pad(h, [(0, 0), (0, 0), (0, 0), (kk // 2, kk // 2)])
             acc = None
@@ -195,13 +184,114 @@ def _conv4_tails(params, h):
                 )
                 acc = term if acc is None else acc + term
             h = acc
-        else:  # "patches"
+        elif impl == "patches":
             hp = jnp.pad(h, [(0, 0), (0, 0), (0, 0), (kk // 2, kk // 2)])
             h = jnp.einsum(
                 "bzitk,zoik->bzot", _patches(hp, kk), w, preferred_element_type=h.dtype
             )
+        else:  # "conv" (also the fallback for "fullseq" in windowed contexts)
+            # One native grouped conv (group = zone): XLA's conv emitter
+            # tiles in VMEM without materializing shifted copies.
+            out = jax.lax.conv_general_dilated(
+                h.reshape(b, z * w.shape[2], 1, t1),
+                w.reshape(z * o, w.shape[2], 1, kk),
+                window_strides=(1, 1),
+                padding=[(0, 0), (kk // 2, kk // 2)],
+                feature_group_count=z,
+            )
+            h = out.reshape(b, z, o, t1)
     h = jax.nn.gelu(h, approximate=False)
     return jnp.mean(h, axis=-1)  # (B, Z, O)
+
+
+def _grouped_conv_same_time(x, w):
+    """'same'-padded zone-grouped conv over time via XLA's native conv
+    emitter: ``x (B, Z, I, T)`` × ``w (Z, O, I, K)`` → ``(B, Z, O, T)``."""
+    b, z, i, t = x.shape
+    o, kk = w.shape[1], w.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x.reshape(b, z * i, 1, t),
+        w.reshape(z * o, i, 1, kk),
+        window_strides=(1, 1),
+        padding=[(0, 0), (kk // 2, kk // 2)],
+        feature_group_count=z,
+    )
+    return out.reshape(b, z, o, t)
+
+
+def _conv_valid_time(x, w):
+    """Valid zone-grouped conv on SHORT time strips (patch-GEMM, tiny):
+    ``x (B, Z, I, L)`` × ``w (Z, O, I, K)`` → ``(B, Z, O, L-K+1)``."""
+    return jnp.einsum(
+        "bzitk,zoik->bzot", _patches(x, w.shape[-1]), w, preferred_element_type=x.dtype
+    )
+
+
+def _conv4_tails_fullseq(params, h1, t1, offsets):
+    """Window-local tails computed from ONE full-sequence pass + exact
+    edge corrections: ``h1 (B, Z, I, T_full)`` → ``(B, N, Z, O)``.
+
+    cnn3/cnn4 are back-to-back linear convs ('same'-padded per window,
+    GELU only after cnn4), so a window's tail output equals the
+    full-sequence 'same' conv at every *interior* position — the two
+    computations read the same ``h1`` values there. They differ only at
+    the ``e = K3//2 + K4//2`` positions at each window edge, where the
+    window-local version sees zero padding but the full-sequence version
+    sees neighboring samples. So: run cnn3→cnn4→GELU once over the full
+    sequence, take each window's interior sum from it, and recompute the
+    2e edge positions per window exactly from ``2e``-wide strips of
+    ``h1`` (tiny). At 50% window overlap this does the tail convs'
+    FLOPs once per sample instead of ~1.6x. Exact-equivalence with the
+    per-window path is tested (values and gradients).
+
+    Off by default (``ISD_CONV4_TAILS=fullseq`` to enable): on the
+    measured chip it loses to the windowed native-conv tails (26k vs
+    59k train windows/s) — the full-sequence grouped convs carry more
+    live memory per trial, forcing smaller head chunks — but the FLOP
+    cut may win on HBM-richer hardware (see docs/PERFORMANCE.md).
+    """
+    w3 = params["cnn3"]["w"][:, :, :, 0, :].astype(h1.dtype)  # (Z, O, I, K)
+    w4 = params["cnn4"]["w"][:, :, :, 0, :].astype(h1.dtype)
+    k3, k4 = w3.shape[-1], w4.shape[-1]
+    e = k3 // 2 + k4 // 2  # edge width where window-local != full-seq
+
+    h3 = _grouped_conv_same_time(h1, w3)
+    h4 = _grouped_conv_same_time(h3, w4)
+    g = jax.nn.gelu(h4, approximate=False)
+
+    # Interior sums (positions [e, t1-e) of each window) from the shared
+    # full-sequence GELU output, as ONE GEMM against a static 0/1
+    # window-mask matrix (f32 accumulate on the MXU). Summing each
+    # window's slice directly is the same math, but its backward
+    # materializes N zero-padded full-sequence gradient tensors before
+    # accumulating — enough to blow HBM across the stacked-model axis;
+    # the mask-GEMM's backward is a single GEMM with the mask transposed.
+    import numpy as np
+
+    t_full = g.shape[-1]
+    m = np.zeros((len(offsets), t_full), np.float32)
+    for i, o in enumerate(offsets):
+        m[i, o + e : o + t1 - e] = 1.0
+    interior = jnp.einsum(
+        "bzot,nt->bnzo", g, jnp.asarray(m, g.dtype), preferred_element_type=jnp.float32
+    )  # (B, N, Z, O)
+
+    def edge_sums(o):
+        # Left edge: h4_w(0..e-1) from h1_w[0 : 2e] with window-local
+        # (zero) left padding; right edge mirrored.
+        pad = [(0, 0), (0, 0), (0, 0)]
+        s_l = jax.lax.slice_in_dim(h1, o, o + 2 * e, axis=-1)
+        h3_l = _conv_valid_time(jnp.pad(s_l, pad + [(k3 // 2, 0)]), w3)
+        h4_l = _conv_valid_time(jnp.pad(h3_l, pad + [(k4 // 2, 0)]), w4)
+        s_r = jax.lax.slice_in_dim(h1, o + t1 - 2 * e, o + t1, axis=-1)
+        h3_r = _conv_valid_time(jnp.pad(s_r, pad + [(0, k3 // 2)]), w3)
+        h4_r = _conv_valid_time(jnp.pad(h3_r, pad + [(0, k4 // 2)]), w4)
+        return jnp.sum(
+            jax.nn.gelu(h4_l, approximate=False).astype(jnp.float32), axis=-1
+        ) + jnp.sum(jax.nn.gelu(h4_r, approximate=False).astype(jnp.float32), axis=-1)
+
+    edges = jnp.stack([edge_sums(o) for o in offsets], axis=1)  # (B, N, Z, O)
+    return ((interior + edges) / t1).astype(h1.dtype)
 
 
 def _conv4_first(w12, b12, x):
@@ -260,6 +350,14 @@ def conv4layers_fused_all_zones_fullseq(params, x, indices, mask, window_len, st
     k = w12.shape[-1]
     t1 = window_len - k + 1
     h = _conv4_first(w12, b12, x)  # (B, Z, O, T_seq-K+1)
+
+    k3 = params["cnn3"]["w"].shape[-1]
+    k4 = params["cnn4"]["w"].shape[-1]
+    e = k3 // 2 + k4 // 2
+    if _conv4_impl("tails") == "fullseq" and t1 >= 2 * e + 2:
+        offsets = [i * step for i in range(n)]
+        return _conv4_tails_fullseq(params, h, t1, offsets)
+
     hw = jnp.stack(
         [jax.lax.slice_in_dim(h, i * step, i * step + t1, axis=-1) for i in range(n)],
         axis=1,

@@ -239,7 +239,7 @@ class TestFusedFullseqEquivalence:
         )
 
     @pytest.mark.parametrize("first", ["gemm", "conv"])
-    @pytest.mark.parametrize("tails", ["patches", "pertap", "conv"])
+    @pytest.mark.parametrize("tails", ["patches", "pertap", "conv", "fullseq"])
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
         from imagined_speech_decoding_tpu.models.heads import (
@@ -259,13 +259,18 @@ class TestFusedFullseqEquivalence:
         ))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
-    def test_fullseq_gradients_match_windowed(self):
+    @pytest.mark.parametrize("tails", [None, "fullseq"])
+    def test_fullseq_gradients_match_windowed(self, tails, monkeypatch):
         from imagined_speech_decoding_tpu.models.heads import (
             conv4layers_fused_all_zones,
             conv4layers_fused_all_zones_fullseq,
         )
         from imagined_speech_decoding_tpu.ops.windowing import sliding_window
 
+        if tails is None:
+            monkeypatch.delenv("ISD_CONV4_TAILS", raising=False)
+        else:
+            monkeypatch.setenv("ISD_CONV4_TAILS", tails)
         layout, params, x = self._setup()
         window_len, step = 64, 32
         n = (x.shape[-1] - window_len) // step + 1
