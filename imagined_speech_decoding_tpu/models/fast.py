@@ -172,7 +172,8 @@ def fast_forward_head(
         # (see heads.conv4layers_fused_all_zones_fullseq).
         def head_of(xc):  # (B', C, T) -> (B', n, Z, F)
             return conv4layers_fused_all_zones_fullseq(
-                params["head"], xc, layout.indices, layout.mask, cfg.window_len, step
+                params["head"], xc, layout.indices, layout.mask, cfg.window_len, step,
+                train=train,
             )
 
         if remat:

@@ -152,24 +152,120 @@ def _conv4_impl(which: str) -> str:
     ``ISD_CONV4_FIRST`` (first conv: ``gemm`` patch-GEMM | ``conv`` native
     XLA conv) and ``ISD_CONV4_TAILS`` (``pertap`` accumulated shifted
     GEMMs | ``patches`` K-tap patch-stack GEMM | ``conv`` native XLA
-    grouped conv). Defaults are the measured-fastest on the available
-    chip: the program is HBM-bandwidth-bound, and XLA's native conv
-    emitter tiles the tail convs in VMEM without materializing the
-    K-tap patch stack — less traffic AND less live memory, which in
-    turn admits 4x larger head chunks (59k vs 35k windows/s measured;
-    see docs/PERFORMANCE.md)."""
+    grouped conv | ``conv2`` composed single conv | ``fullseq`` /
+    ``fullseq2`` full-sequence tails). Defaults are the measured-fastest
+    on the available chip (train: ``conv``; inference: ``conv2`` — see
+    ``_conv4_tails_impl``): the program is HBM-bandwidth-bound, and
+    XLA's native conv emitter tiles the tail convs in VMEM without
+    materializing the K-tap patch stack — less traffic AND less live
+    memory, which in turn admits 4x larger head chunks (59k vs 35k
+    windows/s measured; see docs/PERFORMANCE.md)."""
     import os
 
     defaults = {"first": "gemm", "tails": "conv"}
     return os.environ.get(f"ISD_CONV4_{which.upper()}", defaults[which])
 
 
-def _conv4_tails(params, h):
+def _conv4_tails_impl(train: bool) -> str:
+    """Effective tails formulation: the ``ISD_CONV4_TAILS`` override if
+    set, else ``conv`` (two-stage) for training and ``conv2`` (composed
+    single conv + exact edge corrections) for inference. The composed
+    kernel halves the tails' conv time but its backward needs ~5 GB more
+    HBM across the 75-model stack (measured OOM), so it is
+    inference-only by default."""
+    import os
+
+    env = os.environ.get("ISD_CONV4_TAILS")
+    if env is not None:
+        return env
+    return "conv" if train else "conv2"
+
+
+def _compose_taps(w3, w4):
+    """Pre-convolve two back-to-back linear conv kernels into one:
+    ``w3 (Z, J, I, K3)`` then ``w4 (Z, O, J, K4)`` → ``w34 (Z, O, I,
+    K3+K4-1)`` with ``w34[..,m] = Σ_{ka+kb=m} Σ_j w4[..,j,kb]
+    w3[j,..,ka]`` (correlation semantics, matching
+    ``conv_general_dilated``). Composed in f32 (tiny tensors)."""
+    w3f, w4f = w3.astype(jnp.float32), w4.astype(jnp.float32)
+    k3, k4 = w3.shape[-1], w4.shape[-1]
+    taps = [
+        sum(
+            jnp.einsum("zji,zoj->zoi", w3f[..., ka], w4f[..., m - ka])
+            for ka in range(max(0, m - k4 + 1), min(k3 - 1, m) + 1)
+        )
+        for m in range(k3 + k4 - 1)
+    ]
+    return jnp.stack(taps, axis=-1)
+
+
+def _conv4_tails_composed(params, h):
+    """Both tail convs as ONE composed (K3+K4-1)-tap grouped conv + exact
+    edge corrections: ``h (B, Z, I, T1) -> (B, Z, O)``.
+
+    cnn3 and cnn4 are back-to-back linear convs (GELU only after cnn4),
+    so their kernels pre-convolve into one. Measured on the target chip,
+    the grouped conv is launch/bandwidth-bound, not tap-bound — a 9-tap
+    conv costs the same as a 5-tap one, so this halves the tails' time.
+
+    Composition is NOT exact at the ``e = K3//2 + K4//2`` positions at
+    each end: the true two-stage computation zero-clamps cnn3's OUTPUT
+    values outside [0, T1), while the composed conv only zero-pads the
+    input. Those 2e positions are recomputed exactly from ``2e``-wide
+    input strips (two-stage, window-local padding) and the time-mean is
+    patched by the difference. Exact-equivalence with the two-stage path
+    is tested (values and gradients).
+    """
+    w3 = params["cnn3"]["w"][:, :, :, 0, :]  # (Z, O, I, K)
+    w4 = params["cnn4"]["w"][:, :, :, 0, :]
+    k3, k4 = w3.shape[-1], w4.shape[-1]
+    e = k3 // 2 + k4 // 2
+    t1 = h.shape[-1]
+    w34 = _compose_taps(w3, w4).astype(h.dtype)  # (Z, O, I, K3+K4-1)
+    k34 = w34.shape[-1]
+
+    h4c = _grouped_conv_same_time(h, w34)  # (B, Z, O, T1), exact on [e, t1-e)
+    g = jax.nn.gelu(h4c, approximate=False)
+    # Mean in the compute dtype (same numerics as the two-stage path's
+    # jnp.mean); an f32 cast here would materialize a full-width f32
+    # copy of g — measured +3.9 GB across the stacked-model axis.
+    base = jnp.mean(g, axis=-1).astype(jnp.float32)  # (B, Z, O)
+
+    w3d, w4d = w3.astype(h.dtype), w4.astype(h.dtype)
+    pad = [(0, 0), (0, 0), (0, 0)]
+
+    def true_edges(strip, left):
+        """Exact two-stage window-local values on an edge strip
+        (``strip (B, Z, I, 2e)`` → ``(B, Z, O, e)``)."""
+        p3 = [(k3 // 2, 0)] if left else [(0, k3 // 2)]
+        p4 = [(k4 // 2, 0)] if left else [(0, k4 // 2)]
+        h3 = _conv_valid_time(jnp.pad(strip, pad + p3), w3d)
+        return _conv_valid_time(jnp.pad(h3, pad + p4), w4d)
+
+    s_l = jax.lax.slice_in_dim(h, 0, 2 * e, axis=-1)
+    s_r = jax.lax.slice_in_dim(h, t1 - 2 * e, t1, axis=-1)
+    true_l, true_r = true_edges(s_l, True), true_edges(s_r, False)
+    approx_l = jax.lax.slice_in_dim(h4c, 0, e, axis=-1)
+    approx_r = jax.lax.slice_in_dim(h4c, t1 - e, t1, axis=-1)
+    corr = sum(
+        jnp.sum(jax.nn.gelu(t, approximate=False).astype(jnp.float32), axis=-1)
+        - jnp.sum(jax.nn.gelu(a, approximate=False).astype(jnp.float32), axis=-1)
+        for t, a in ((true_l, approx_l), (true_r, approx_r))
+    )
+    return (base + corr / t1).astype(h.dtype)
+
+
+def _conv4_tails(params, h, impl=None):
     """cnn3/cnn4 ('same'-padded, zone-batched) + GELU + time-mean:
-    ``h (B, Z, O, T1) -> (B, Z, O)``. Three formulations (same math,
+    ``h (B, Z, O, T1) -> (B, Z, O)``. Several formulations (same math,
     different HBM-traffic/FLOP trade — see ``_conv4_impl``)."""
-    impl = _conv4_impl("tails")
+    if impl is None:
+        impl = _conv4_impl("tails")
     b, z, o, t1 = h.shape
+    if impl == "conv2" and t1 >= 2 * (
+        params["cnn3"]["w"].shape[-1] // 2 + params["cnn4"]["w"].shape[-1] // 2
+    ):
+        return _conv4_tails_composed(params, h)
     for name in ("cnn3", "cnn4"):
         w = params[name]["w"][:, :, :, 0, :].astype(h.dtype)  # (Z, O, I, K)
         kk = w.shape[-1]
@@ -227,7 +323,7 @@ def _conv_valid_time(x, w):
     )
 
 
-def _conv4_tails_fullseq(params, h1, t1, offsets):
+def _conv4_tails_fullseq(params, h1, t1, offsets, composed=False):
     """Window-local tails computed from ONE full-sequence pass + exact
     edge corrections: ``h1 (B, Z, I, T_full)`` → ``(B, N, Z, O)``.
 
@@ -255,9 +351,20 @@ def _conv4_tails_fullseq(params, h1, t1, offsets):
     k3, k4 = w3.shape[-1], w4.shape[-1]
     e = k3 // 2 + k4 // 2  # edge width where window-local != full-seq
 
-    h3 = _grouped_conv_same_time(h1, w3)
-    h4 = _grouped_conv_same_time(h3, w4)
-    g = jax.nn.gelu(h4, approximate=False)
+    if composed:
+        # ONE (K3+K4-1)-tap composed conv instead of two (see
+        # _conv4_tails_composed; the grouped conv is launch-bound, not
+        # tap-bound, so this halves the tails' conv time and drops one
+        # full-sequence intermediate). Composition is inexact only
+        # within e of the FULL-SEQUENCE ends — positions already outside
+        # every window interior, so the edge corrections below (exact
+        # two-stage recomputes from h1 strips) need no change.
+        w34 = _compose_taps(w3, w4).astype(h1.dtype)
+        g = jax.nn.gelu(_grouped_conv_same_time(h1, w34), approximate=False)
+    else:
+        h3 = _grouped_conv_same_time(h1, w3)
+        h4 = _grouped_conv_same_time(h3, w4)
+        g = jax.nn.gelu(h4, approximate=False)
 
     # Interior sums (positions [e, t1-e) of each window) from the shared
     # full-sequence GELU output, as ONE GEMM against a static 0/1
@@ -312,7 +419,7 @@ def _conv4_first(w12, b12, x):
     return h + b12[None, :, :, None]
 
 
-def conv4layers_fused_all_zones(params, x, indices, mask):
+def conv4layers_fused_all_zones(params, x, indices, mask, train=True):
     """All-zones Conv4Layers over UN-gathered input: ``x (B, C_full, T)``
     → ``(B, Z, dim)``.
 
@@ -326,10 +433,12 @@ def conv4layers_fused_all_zones(params, x, indices, mask):
     """
     w12, b12 = _conv4_fused_w12(params, indices, mask, x.shape[1], x.dtype)
     h = _conv4_first(w12, b12, x)  # (B, Z, O, T1)
-    return _conv4_tails(params, h)
+    return _conv4_tails(params, h, _conv4_tails_impl(train))
 
 
-def conv4layers_fused_all_zones_fullseq(params, x, indices, mask, window_len, step):
+def conv4layers_fused_all_zones_fullseq(
+    params, x, indices, mask, window_len, step, train=True
+):
     """All-zones Conv4Layers over full UN-windowed sequences:
     ``x (B, C_full, T_seq)`` → ``(B, N, Z, dim)``.
 
@@ -354,16 +463,19 @@ def conv4layers_fused_all_zones_fullseq(params, x, indices, mask, window_len, st
     k3 = params["cnn3"]["w"].shape[-1]
     k4 = params["cnn4"]["w"].shape[-1]
     e = k3 // 2 + k4 // 2
-    if _conv4_impl("tails") == "fullseq" and t1 >= 2 * e + 2:
+    impl = _conv4_tails_impl(train)
+    if impl in ("fullseq", "fullseq2") and t1 >= 2 * e + 2:
         offsets = [i * step for i in range(n)]
-        return _conv4_tails_fullseq(params, h, t1, offsets)
+        return _conv4_tails_fullseq(
+            params, h, t1, offsets, composed=impl == "fullseq2"
+        )
 
     hw = jnp.stack(
         [jax.lax.slice_in_dim(h, i * step, i * step + t1, axis=-1) for i in range(n)],
         axis=1,
     )  # (B, N, Z, O, T1)
     hw = hw.reshape(b * n, *hw.shape[2:])
-    return _conv4_tails(params, hw).reshape(b, n, *hw.shape[1:3])
+    return _conv4_tails(params, hw, impl).reshape(b, n, *hw.shape[1:3])
 
 
 def conv4layers_prepare_fused_weights(params, indices, mask, c_full: int):
