@@ -285,6 +285,18 @@ def _conv4_tails(params, h, impl=None):
             h = jnp.einsum(
                 "bzitk,zoik->bzot", _patches(hp, kk), w, preferred_element_type=h.dtype
             )
+        elif impl == "convnhwc":
+            # Channels-last layout: time as the H spatial dim, zone*feat
+            # on the TPU-native minor (lane) axis.
+            out = jax.lax.conv_general_dilated(
+                h.reshape(b, z * w.shape[2], 1, t1).transpose(0, 2, 3, 1),
+                w.reshape(z * o, w.shape[2], 1, kk).transpose(2, 3, 1, 0),
+                window_strides=(1, 1),
+                padding=[(0, 0), (kk // 2, kk // 2)],
+                feature_group_count=z,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = out.transpose(0, 3, 1, 2).reshape(b, z, o, t1)
         else:  # "conv" (also the fallback for "fullseq" in windowed contexts)
             # One native grouped conv (group = zone): XLA's conv emitter
             # tiles in VMEM without materializing shifted copies.

@@ -240,7 +240,7 @@ class TestFusedFullseqEquivalence:
 
     @pytest.mark.parametrize("first", ["gemm", "conv"])
     @pytest.mark.parametrize(
-        "tails", ["patches", "pertap", "conv", "fullseq", "conv2", "fullseq2"]
+        "tails", ["patches", "pertap", "conv", "convnhwc", "fullseq", "conv2", "fullseq2"]
     )
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
