@@ -1,0 +1,41 @@
+"""Host fingerprint for salting persistent JAX compilation-cache dirs.
+
+XLA:CPU AOT cache entries encode the compile host's CPU features and can
+SIGILL when loaded on a machine without them; checkouts (and their cache
+dirs) may persist across heterogeneous hosts. Import-light on purpose —
+used by ``tests/conftest.py`` before the main package and by
+``__graft_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+import shutil
+
+
+def host_fingerprint() -> str:
+    """Short hash of this host's CPU identity (feature flags where
+    available; processor string + hostname as the fallback so hosts
+    without ``/proc/cpuinfo`` still get distinct salts)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            ident = next((l for l in f if l.startswith(("flags", "Features"))), "")
+    except OSError:
+        ident = f"{platform.processor()}|{platform.node()}"
+    return hashlib.sha256((platform.machine() + ident).encode()).hexdigest()[:12]
+
+
+def salted_cache_dir(base: str, prefix: str) -> str:
+    """Return ``<base>/<prefix>_<fingerprint>``, pruning sibling cache
+    dirs salted for OTHER hosts (and the legacy unsalted dir) so stale
+    per-host caches don't accumulate in a long-lived checkout."""
+    name = f"{prefix}_{host_fingerprint()}"
+    try:
+        for entry in os.listdir(base):
+            if (entry == prefix or entry.startswith(prefix + "_")) and entry != name:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(base, name)

@@ -222,8 +222,6 @@ def _conv4_tails_composed(params, h):
     e = k3 // 2 + k4 // 2
     t1 = h.shape[-1]
     w34 = _compose_taps(w3, w4).astype(h.dtype)  # (Z, O, I, K3+K4-1)
-    k34 = w34.shape[-1]
-
     h4c = _grouped_conv_same_time(h, w34)  # (B, Z, O, T1), exact on [e, t1-e)
     g = jax.nn.gelu(h4c, approximate=False)
     # Mean in the compute dtype (same numerics as the two-stage path's
@@ -300,14 +298,7 @@ def _conv4_tails(params, h, impl=None):
         else:  # "conv" (also the fallback for "fullseq" in windowed contexts)
             # One native grouped conv (group = zone): XLA's conv emitter
             # tiles in VMEM without materializing shifted copies.
-            out = jax.lax.conv_general_dilated(
-                h.reshape(b, z * w.shape[2], 1, t1),
-                w.reshape(z * o, w.shape[2], 1, kk),
-                window_strides=(1, 1),
-                padding=[(0, 0), (kk // 2, kk // 2)],
-                feature_group_count=z,
-            )
-            h = out.reshape(b, z, o, t1)
+            h = _grouped_conv_same_time(h, w)
     h = jax.nn.gelu(h, approximate=False)
     return jnp.mean(h, axis=-1)  # (B, Z, O)
 

@@ -23,25 +23,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeat suite runs skip XLA compiles (the
 # dominant cost of this suite), keyed on program + flags. The dir is
-# salted with a host-CPU-feature hash: XLA:CPU AOT entries encode the
-# compile host's features and can SIGILL when loaded on a different
-# machine (this checkout persists across possibly-heterogeneous hosts).
+# salted per host (and foreign-host dirs pruned): XLA:CPU AOT entries
+# encode the compile host's features and can SIGILL when loaded on a
+# different machine (this checkout persists across possibly-
+# heterogeneous hosts). See imagined_speech_decoding_tpu/_hostid.py.
+from imagined_speech_decoding_tpu._hostid import salted_cache_dir  # noqa: E402
 
-
-def _host_fingerprint() -> str:
-    import hashlib
-    import platform
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    return hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:12]
-
-
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          f".pytest_jax_cache_{_host_fingerprint()}")
+_cache_dir = salted_cache_dir(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".pytest_jax_cache"
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -269,10 +269,6 @@ class TestFusedFullseqEquivalence:
         )
         from imagined_speech_decoding_tpu.ops.windowing import sliding_window
 
-        if tails is None:
-            monkeypatch.delenv("ISD_CONV4_TAILS", raising=False)
-        else:
-            monkeypatch.setenv("ISD_CONV4_TAILS", tails)
         layout, params, x = self._setup()
         window_len, step = 64, 32
         n = (x.shape[-1] - window_len) // step + 1
@@ -289,8 +285,17 @@ class TestFusedFullseqEquivalence:
             f = conv4layers_fused_all_zones(p, w, layout.indices, layout.mask)
             return jnp.sum(f * f)
 
-        g_full = jax.grad(loss_full)(params)
+        # Reference gradients ALWAYS come from the two-stage windowed
+        # path — so each parametrized formulation's gradients (incl. the
+        # composed-kernel edge corrections) are cross-checked against an
+        # independent implementation, never against themselves.
+        monkeypatch.setenv("ISD_CONV4_TAILS", "conv")
         g_win = jax.grad(loss_win)(params)
+        if tails is None:
+            monkeypatch.delenv("ISD_CONV4_TAILS", raising=False)
+        else:
+            monkeypatch.setenv("ISD_CONV4_TAILS", tails)
+        g_full = jax.grad(loss_full)(params)
         for gf, gw in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_win)):
             np.testing.assert_allclose(
                 np.asarray(gf), np.asarray(gw), rtol=2e-4, atol=2e-4
