@@ -89,6 +89,14 @@ class StreamingDecoder:
     Push arbitrary-length sample chunks; when at least ``seq_len`` samples
     are buffered, ``decode_latest`` runs the jitted decoder on the most
     recent window. The device graph sees one static shape only.
+
+    ``native=True`` backs the ring with the lock-free C++ SPSC buffer
+    (``ringbuf.NativeRingBuffer``, ``native/eegring.cpp``): ``push`` may
+    then run on a separate acquisition thread concurrently with
+    ``decode_latest`` — snapshots are tear-checked — whereas the numpy
+    ring serializes producer and consumer through the GIL.
+    ``ring_capacity`` (native only, default ``4 * seq_len``) sets how far
+    the producer can run ahead during one decode.
     """
 
     def __init__(
@@ -96,14 +104,28 @@ class StreamingDecoder:
         decoder: Callable,
         n_channels: int,
         seq_len: int,
+        *,
+        native: bool = False,
+        ring_capacity: Optional[int] = None,
     ):
         self.decoder = decoder
         self.seq_len = seq_len
-        self.buffer = np.zeros((n_channels, seq_len), np.float32)
-        self.filled = 0
+        self._ring = None
+        if native:
+            from .ringbuf import NativeRingBuffer
+
+            self._ring = NativeRingBuffer(
+                n_channels, ring_capacity or 4 * seq_len
+            )
+        else:
+            self.buffer = np.zeros((n_channels, seq_len), np.float32)
+            self.filled = 0
 
     def push(self, chunk: np.ndarray) -> None:
         """Append ``(C, n)`` new samples to the ring."""
+        if self._ring is not None:
+            self._ring.push(chunk)
+            return
         n = chunk.shape[-1]
         if n >= self.seq_len:
             self.buffer = chunk[:, -self.seq_len:].astype(np.float32)
@@ -113,16 +135,26 @@ class StreamingDecoder:
 
     @property
     def ready(self) -> bool:
+        if self._ring is not None:
+            return self._ring.ready(self.seq_len)
         return self.filled >= self.seq_len
 
     def decode_latest(self) -> np.ndarray:
         """Posterior over classes for the latest full window ``(K,)``."""
+        if self._ring is not None:
+            window, _ = self._ring.snapshot_latest(self.seq_len)
+            post = self.decoder(jnp.asarray(window)[None])
+            return np.asarray(post)[0]
         if not self.ready:
             raise RuntimeError(
                 f"buffer has {self.filled}/{self.seq_len} samples; push more first"
             )
         post = self.decoder(jnp.asarray(self.buffer)[None])
         return np.asarray(post)[0]
+
+    def close(self) -> None:
+        if self._ring is not None:
+            self._ring.close()
 
 
 def export_decoder_weights(path: str, params, state) -> str:
