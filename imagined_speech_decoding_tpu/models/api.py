@@ -27,7 +27,7 @@ def make_fast_model(
     def init(key):
         return fast_init(key, cfg)
 
-    def apply(params, state, x, *, train=False, rng=None):
+    def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
         return fast_apply(
             params,
             state,
@@ -38,6 +38,7 @@ def make_fast_model(
             rng=rng,
             remat=remat,
             head_micro_batch=head_micro_batch,
+            sample_weight=sample_weight,
         )
 
     return ModelDef(init=init, apply=apply)

@@ -31,8 +31,9 @@ def eegnet_init(
     f1, d = _F1, _D
     f2 = f1 * d
     ks = jax.random.split(key, 5)
-    # classifier input length: T -> pool4 -> pool8
-    t_out = ((n_samples + 1) // 4) // 8
+    # classifier input length: conv1 'same' over K=64 (+1 sample) ->
+    # pool4 -> sep_depth 'same' over K=16 (+1 sample) -> pool8
+    t_out = ((n_samples + 1) // 4 + 1) // 8
     params = {
         "temporal": nn.conv2d_init(ks[0], 1, f1, (1, _KL), bias=False, dtype=dtype),
         "spatial": nn.conv2d_init(ks[1], f1, f2, (n_channels, 1), bias=False, groups=f1, dtype=dtype),
@@ -54,21 +55,27 @@ def eegnet_apply(
     dropout: float = 0.25,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ):
     """``(B, C, T) -> (B, n_classes)`` logits + new BN state."""
+    from ..ops.norm import bn_sample_mask
+
     r1, r2 = nn.split_rng(rng, 2)
     f1, f2 = _F1, _F1 * _D
     h = x[:, None, :, :]
     h = nn.conv2d(params["temporal"], h, padding=[(0, 0), (_KL // 2, _KL // 2)])
-    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train)
+    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train,
+                         mask=bn_sample_mask(h, sample_weight))
     h = nn.conv2d(params["spatial"], h, groups=f1)
-    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train)
+    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train,
+                         mask=bn_sample_mask(h, sample_weight))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, 4))
     h = nn.dropout(h, dropout, r1, train)
     h = nn.conv2d(params["sep_depth"], h, padding=[(0, 0), (8, 8)], groups=f2)
     h = nn.conv2d(params["sep_point"], h)
-    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train)
+    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train,
+                         mask=bn_sample_mask(h, sample_weight))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, 8))
     h = nn.dropout(h, dropout, r2, train)
@@ -85,7 +92,8 @@ def make_eegnet_model(
     def init(key):
         return eegnet_init(key, n_channels, n_samples, n_classes)
 
-    def apply(params, state, x, *, train=False, rng=None):
-        return eegnet_apply(params, state, x.astype(compute_dtype), train=train, rng=rng)
+    def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
+        return eegnet_apply(params, state, x.astype(compute_dtype), train=train,
+                            rng=rng, sample_weight=sample_weight)
 
     return ModelDef(init=init, apply=apply)

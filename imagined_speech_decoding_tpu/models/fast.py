@@ -127,8 +127,15 @@ def fast_forward_head(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     head_micro_batch: Optional[int] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """Tokenize + encode: ``(B, C, T) -> (B, N, Z, F)``.
+
+    ``sample_weight (B,)`` flags ragged-batch padding trials (weight 0);
+    BN-bearing heads exclude their windows from batch statistics so the
+    padded static batch trains identically to the reference's short
+    final DataLoader batch. The default Conv4Layers path is BN-free and
+    ignores it.
 
     Reference ``forward_head`` (fast.py:242-252): unfold into overlapping
     windows, flatten windows into the batch, run the zone encoders.
@@ -200,6 +207,11 @@ def fast_forward_head(
     w = jnp.moveaxis(w, 2, 1).reshape(b * n, x.shape[1], cfg.window_len)  # (B*N, C, W)
     xz, zmask = zone_gather(w, layout.indices, layout.mask)  # (B*N, Z, C_max, W)
 
+    # Each trial's n windows inherit the trial's sample weight (window
+    # row order is trial-major, matching the reshape above).
+    window_mask = (
+        None if sample_weight is None else jnp.repeat(sample_weight, n)
+    )
     enc = get_head(cfg.head)
     stateless = not jax.tree.leaves(state["head"])
     if (
@@ -223,7 +235,7 @@ def fast_forward_head(
     else:
         feat, new_head_state = head_apply(
             cfg.head, params["head"], state["head"], xz, zmask, train=train, rng=rng,
-            remat=remat,
+            remat=remat, sample_mask=window_mask,
         )  # (B*N, Z, F)
     feat = feat.reshape(b, n, layout.n_zones, cfg.dim_cnn)
     return feat, {"head": new_head_state}
@@ -295,6 +307,7 @@ def fast_apply(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     head_micro_batch: Optional[int] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """Full forward pass with the reference's 3 modes (fast.py:270-284).
 
@@ -304,14 +317,14 @@ def fast_apply(
     if forward_mode == "default":
         feat, new_state = fast_forward_head(
             params, state, x, cfg, train=train, rng=r_head, remat=remat,
-            head_micro_batch=head_micro_batch,
+            head_micro_batch=head_micro_batch, sample_weight=sample_weight,
         )
         logits = fast_forward_transformer(params, feat, cfg, train=train, rng=r_tr)
         return logits, new_state
     if forward_mode == "train_head":
         feat, new_state = fast_forward_head(
             params, state, x, cfg, train=train, rng=r_head, remat=remat,
-            head_micro_batch=head_micro_batch,
+            head_micro_batch=head_micro_batch, sample_weight=sample_weight,
         )
         b, n = feat.shape[:2]
         h = feat.reshape(b, n, -1)
@@ -321,7 +334,7 @@ def fast_apply(
     if forward_mode == "train_transformer":
         feat, new_state = fast_forward_head(
             params, state, x, cfg, train=train, rng=r_head, remat=remat,
-            head_micro_batch=head_micro_batch,
+            head_micro_batch=head_micro_batch, sample_weight=sample_weight,
         )
         feat = jax.lax.stop_gradient(feat)  # frozen feature extractor
         logits = fast_forward_transformer(params, feat, cfg, train=train, rng=r_tr)

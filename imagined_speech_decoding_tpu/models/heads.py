@@ -20,7 +20,13 @@ Masking contract (exact ragged equivalence):
 
 Each head is an ``(init, apply)`` pair:
   ``init(key, c_max, feature_dim, window_len, dtype) -> (params, state)``
-  ``apply(params, state, x, mask, *, train, rng) -> (feat (B, F), state)``
+  ``apply(params, state, x, mask, *, train, rng, sample_mask) ->
+  (feat (B, F), state)``
+
+``sample_mask`` (optional ``(B,)``) marks zero-weight padding rows of a
+ragged final batch; BN-bearing heads exclude them from batch statistics
+(see ``ops.norm.bn_sample_mask``) so padded static-shape batches train
+identically to the reference's short ragged batches.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ from typing import Callable, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.norm import BNState, batch_norm, bn_init
+from ..ops.norm import BNState, batch_norm, bn_init, bn_sample_mask
 from . import modules as nn
 
 
@@ -90,7 +96,7 @@ def _fuse_temporal_spatial(w_t, b_t, w_s, mask):
     return w, b
 
 
-def conv4layers_apply(params, state, x, mask, *, train=False, rng=None):
+def conv4layers_apply(params, state, x, mask, *, train=False, rng=None, sample_mask=None):
     """4-layer CNN: temporal(1,5)+bias → spatial(C,1) → 2x temporal(1,5)
     → GELU → mean over time. ``x (B, C_max, T) -> (B, dim)``.
 
@@ -543,19 +549,23 @@ def cvblock_init(key, c_max: int, dim_token: int = 32, window_len: int = 250, dt
     return params, state
 
 
-def cvblock_apply(params, state, x, mask, *, train=False, rng=None, dropout_rate=0.5):
+def cvblock_apply(params, state, x, mask, *, train=False, rng=None, dropout_rate=0.5,
+                  sample_mask=None):
     r1, r2 = nn.split_rng(rng, 2)
     h = x[:, None, :, :]
     h = nn.conv2d(params["conv1"], h, padding=[(0, 0), (_CV_KC // 2, _CV_KC // 2)])
-    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train, mask=_bn_mask(mask))
+    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train,
+                         mask=bn_sample_mask(h, sample_mask, _bn_mask(mask)))
     h = _mask_rows(h, mask)  # BN affine writes into padded rows
     h = nn.conv2d(params["conv2"], h, groups=_CV_F1)  # (B, 16, 1, T+1)
-    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train)
+    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train,
+                         mask=bn_sample_mask(h, sample_mask))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, 8))
     h = nn.dropout(h, dropout_rate, r1, train)
     h = nn.conv2d(params["conv3"], h, padding=[(0, 0), (_CV_KC2 // 2, _CV_KC2 // 2)])
-    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train)
+    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train,
+                         mask=bn_sample_mask(h, sample_mask))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, 2))
     h = nn.dropout(h, dropout_rate, r2, train)
@@ -590,21 +600,25 @@ def eegnet_encoder_init(key, c_max: int, feature_dim: int = 32, window_len: int 
     return params, {"bn1": bn1s, "bn2": bn2s, "bn3": bn3s}
 
 
-def eegnet_encoder_apply(params, state, x, mask, *, train=False, rng=None, dropout_rate=0.25):
+def eegnet_encoder_apply(params, state, x, mask, *, train=False, rng=None, dropout_rate=0.25,
+                         sample_mask=None):
     r1, r2 = nn.split_rng(rng, 2)
     f1, f2 = _EN_F1, _EN_F1 * _EN_D
     h = x[:, None, :, :]
     h = nn.conv2d(params["temporal"], h, padding=[(0, 0), (_EN_KL // 2, _EN_KL // 2)])
-    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train, mask=_bn_mask(mask))
+    h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train,
+                         mask=bn_sample_mask(h, sample_mask, _bn_mask(mask)))
     h = _mask_rows(h, mask)
     h = nn.conv2d(params["spatial"], h, groups=f1)  # (B, F2, 1, T+1)
-    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train)
+    h, bn2s = batch_norm(h, params["bn2"], state["bn2"], train=train,
+                         mask=bn_sample_mask(h, sample_mask))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, 4))
     h = nn.dropout(h, dropout_rate, r1, train)
     h = nn.conv2d(params["sep_depth"], h, padding=[(0, 0), (8, 8)], groups=f2)
     h = nn.conv2d(params["sep_point"], h)
-    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train)
+    h, bn3s = batch_norm(h, params["bn3"], state["bn3"], train=train,
+                         mask=bn_sample_mask(h, sample_mask))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, 8))
     h = nn.dropout(h, dropout_rate, r2, train)
@@ -642,7 +656,8 @@ def _max_pool_time2(h: jnp.ndarray) -> jnp.ndarray:
     return h[..., :t].reshape(*h.shape[:-1], t // 2, 2).max(axis=-1)
 
 
-def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None):
+def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None,
+                         sample_mask=None):
     # temporal+bias → mask → spatial fused into one conv (see
     # _fuse_temporal_spatial) to avoid the (B, F1, C_max, T) intermediate;
     # all convs as shifted GEMMs (nn.temporal_conv) for vmap efficiency.
@@ -651,13 +666,15 @@ def headconv_paper_apply(params, state, x, mask, *, train=False, rng=None):
     )
     h = nn.temporal_conv(x, w12[:, 0], b12)  # (B, F1, T-2)
     new_state = {}
-    h, new_state["norm1"] = batch_norm(h, params["norm1"], state["norm1"], train=train)
+    h, new_state["norm1"] = batch_norm(h, params["norm1"], state["norm1"], train=train,
+                                       mask=bn_sample_mask(h, sample_mask))
     h = jax.nn.gelu(h, approximate=False)
     h = _max_pool_time2(h)
     for i in (2, 3, 4):
         h = nn.temporal_conv(h, params[f"cnn{i}"]["w"][:, :, 0, :])
         h, new_state[f"norm{i}"] = batch_norm(
-            h, params[f"norm{i}"], state[f"norm{i}"], train=train
+            h, params[f"norm{i}"], state[f"norm{i}"], train=train,
+            mask=bn_sample_mask(h, sample_mask),
         )
         h = jax.nn.gelu(h, approximate=False)
         h = _max_pool_time2(h)
@@ -700,13 +717,15 @@ def head_init(key, head_name: str, n_zones: int, c_max: int, feature_dim: int,
 
 def head_apply(
     head_name: str, params, state, x_zones, zone_mask, *, train=False, rng=None,
-    remat: bool = False,
+    remat: bool = False, sample_mask=None,
 ):
     """Apply the zone-batched head.
 
     ``x_zones (B, Z, C_max, T)`` (padded rows pre-zeroed), ``zone_mask
     (Z, C_max)`` → features ``(B, Z, F)`` + new stacked state. One
     ``vmap`` over the zone axis maps per-zone params onto per-zone data.
+    ``sample_mask (B,)`` flags ragged-batch padding rows for BN-bearing
+    heads (shared across zones).
 
     ``remat=True`` wraps the encoder in ``jax.checkpoint``: backward
     recomputes the conv activations instead of storing them — the
@@ -718,7 +737,7 @@ def head_apply(
     rngs = None if rng is None else jax.random.split(rng, x_zones.shape[1])
 
     def one_zone(p, s, xz, mz, rz):
-        return enc.apply(p, s, xz, mz, train=train, rng=rz)
+        return enc.apply(p, s, xz, mz, train=train, rng=rz, sample_mask=sample_mask)
 
     if remat:
         one_zone = jax.checkpoint(one_zone)

@@ -54,7 +54,8 @@ def make_mlp_model(d_in: int, n_classes: int = 5, hidden=(128, 64), compute_dtyp
     def init(key):
         return mlp_init(key, d_in, n_classes, hidden)
 
-    def apply(params, state, x, *, train=False, rng=None):
+    def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
+        # BN-free model: sample_weight accepted for interface uniformity.
         return mlp_apply(params, state, x.astype(compute_dtype), train=train, rng=rng)
 
     return ModelDef(init=init, apply=apply)

@@ -25,7 +25,9 @@ from . import modules as nn
 
 def lstm_init(key: jax.Array, d_in: int, d_hidden: int, dtype=jnp.float32):
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    bound_in, bound_h = d_in, d_hidden
+    # torch nn.LSTM initializes ALL weights (incl. input-hidden) from
+    # U(±1/sqrt(hidden)) — fan-in of d_in for wi would break parity.
+    bound_h = d_hidden
     return {
         "wi": nn.uniform_fan_in(k1, (d_in, 4 * d_hidden), bound_h, dtype),
         "wh": nn.uniform_fan_in(k2, (d_hidden, 4 * d_hidden), bound_h, dtype),
@@ -113,14 +115,18 @@ def cnn_bilstm_apply(
     dropout: float = 0.3,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ):
     """``(B, C, T) -> (B, K)``: conv frontend → (B, T/pool, F) sequence →
     BiLSTM final states → classifier."""
+    from ..ops.norm import bn_sample_mask
+
     (r1,) = nn.split_rng(rng, 1)
     h = x[:, None, :, :]
     h = nn.conv2d(params["temporal"], h, padding=[(0, 0), (7, 7)])  # (B, F, C, T)
     h = nn.conv2d(params["spatial"], h)  # (B, F, 1, T)
-    h, bns = batch_norm(h, params["bn"], state["bn"], train=train)
+    h, bns = batch_norm(h, params["bn"], state["bn"], train=train,
+                        mask=bn_sample_mask(h, sample_weight))
     h = jax.nn.elu(h)
     h = nn.avg_pool(h, (1, pool))  # (B, F, 1, T/pool)
     seq = jnp.moveaxis(h[:, :, 0, :], 1, 2)  # (B, T/pool, F)
@@ -138,7 +144,8 @@ def make_cnn_bilstm_model(
     def init(key):
         return cnn_bilstm_init(key, n_channels, n_samples, n_classes)
 
-    def apply(params, state, x, *, train=False, rng=None):
-        return cnn_bilstm_apply(params, state, x.astype(compute_dtype), train=train, rng=rng)
+    def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
+        return cnn_bilstm_apply(params, state, x.astype(compute_dtype), train=train,
+                                rng=rng, sample_weight=sample_weight)
 
     return ModelDef(init=init, apply=apply)

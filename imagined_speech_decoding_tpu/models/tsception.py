@@ -85,8 +85,11 @@ def tsception_apply(
     dropout: float = 0.5,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ):
     """``(B, C, T) -> (B, n_classes)`` logits + new BN state."""
+    from ..ops.norm import bn_sample_mask
+
     (r1,) = nn.split_rng(rng, 1)
     k_t, half = meta["k_t"], meta["half"]
     h = x[:, None, :, :]  # (B, 1, C, T)
@@ -97,14 +100,16 @@ def tsception_apply(
          _t_branch(params["t3"], h, k_t[2])],
         axis=1,
     )  # (B, 3*num_T, C, T/4)
-    y, bnt_s = batch_norm(y, params["bn_t"], state["bn_t"], train=train)
+    y, bnt_s = batch_norm(y, params["bn_t"], state["bn_t"], train=train,
+                          mask=bn_sample_mask(y, sample_weight))
 
     s1 = nn.conv2d(params["s1"], y)  # (B, num_S, 1, T/4)
     s1 = nn.avg_pool(jax.nn.leaky_relu(s1, 0.01), (1, 4))
     s2 = nn.conv2d(params["s2"], y, stride=(half, 1))  # (B, num_S, 2, T/4)
     s2 = nn.avg_pool(jax.nn.leaky_relu(s2, 0.01), (1, 4))
     ys = jnp.concatenate([s1, s2], axis=2)  # (B, num_S, 3, T/16)
-    ys, bns_s = batch_norm(ys, params["bn_s"], state["bn_s"], train=train)
+    ys, bns_s = batch_norm(ys, params["bn_s"], state["bn_s"], train=train,
+                           mask=bn_sample_mask(ys, sample_weight))
 
     z = adaptive_avg_pool_w(ys, 8)  # (B, num_S, 3, 8)
     z = z.reshape(z.shape[0], -1)
@@ -124,24 +129,23 @@ def make_tsception_model(
     """TSception as a ``ModelDef`` for the generic training engine."""
     from ..train.engine import ModelDef
 
-    meta_holder = {}
+    # meta depends only on (n_channels, sfreq) + the init defaults, so
+    # compute it once here — apply works before/without init (e.g. on
+    # loaded checkpoints) with a single source of truth for the shapes.
+    _, _, meta = tsception_init(
+        jax.random.PRNGKey(0), n_channels, n_samples, n_classes, sfreq
+    )
 
     def init(key):
-        params, state, meta = tsception_init(
+        params, state, _ = tsception_init(
             key, n_channels, n_samples, n_classes, sfreq
         )
-        meta_holder.update(meta)
         return params, state
 
-    def apply(params, state, x, *, train=False, rng=None):
-        if not meta_holder:
-            meta_holder.update(
-                {"k_t": [int(sfreq * r) for r in (0.5, 0.25, 0.125)],
-                 "half": int(n_channels * 0.5), "num_t": 15, "num_s": 15}
-            )
+    def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
         return tsception_apply(
-            params, state, x.astype(compute_dtype), meta_holder,
-            n_classes=n_classes, train=train, rng=rng,
+            params, state, x.astype(compute_dtype), meta,
+            n_classes=n_classes, train=train, rng=rng, sample_weight=sample_weight,
         )
 
     return ModelDef(init=init, apply=apply)

@@ -84,6 +84,27 @@ def batch_norm(
     return y * scale + bias, new_state
 
 
+def bn_sample_mask(
+    x: jnp.ndarray,
+    sample_weight: Optional[jnp.ndarray],
+    channel_mask: Optional[jnp.ndarray] = None,
+) -> Optional[jnp.ndarray]:
+    """Combine per-sample weights ``(B,)`` (batch at axis 0 of ``x``)
+    with an optional pre-broadcast channel mask into one BN mask.
+
+    The per-sample path reproduces the reference's ragged final batch:
+    a DataLoader with ``drop_last=False`` computes BatchNorm statistics
+    over only the real rows of a short last batch, while the jitted
+    engine pads batches to a static size with zero-weight duplicate
+    rows — without this mask those padding rows would skew the batch
+    statistics and the running stats.
+    """
+    if sample_weight is None:
+        return channel_mask
+    m = sample_weight.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+    return m if channel_mask is None else m * channel_mask.astype(x.dtype)
+
+
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the trailing axis (torch ``nn.LayerNorm`` semantics)."""
     mean = jnp.mean(x, axis=-1, keepdims=True)

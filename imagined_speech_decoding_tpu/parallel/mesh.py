@@ -108,9 +108,18 @@ def mesh_strategy(mesh_axis: Optional[str]):
         return NamedSharding(make_mesh(("data",)), P("data")), None, None
     if mesh_axis == "2d":
         n_dev = len(jax.devices())
-        mesh2d = make_mesh(
-            ("model", "data"), shape=(max(n_dev // 2, 1), 2 if n_dev > 1 else 1)
-        )
+        shape = (max(n_dev // 2, 1), 2 if n_dev > 1 else 1)
+        used = shape[0] * shape[1]
+        if used < n_dev:
+            import warnings
+
+            warnings.warn(
+                f"mesh strategy '2d' uses {used} of {n_dev} devices "
+                f"(shape {shape}); an odd device count idles the rest — "
+                "prefer --mesh model or an even slice",
+                stacklevel=2,
+            )
+        mesh2d = make_mesh(("model", "data"), shape=shape)
         return NamedSharding(mesh2d, P("data")), "model", mesh2d
     raise ValueError(f"unknown mesh strategy {mesh_axis!r} (use model/data/2d)")
 

@@ -130,7 +130,11 @@ class StreamingDecoder:
         if n >= self.seq_len:
             self.buffer = chunk[:, -self.seq_len:].astype(np.float32)
         else:
-            self.buffer = np.concatenate([self.buffer[:, n:], chunk], axis=-1)
+            # f32 cast here too: concatenating a float64 chunk would
+            # silently promote the buffer and retrace the jitted decoder.
+            self.buffer = np.concatenate(
+                [self.buffer[:, n:], chunk.astype(np.float32)], axis=-1
+            )
         self.filled = min(self.filled + n, self.seq_len)
 
     @property

@@ -73,6 +73,19 @@ def build_cv_index_stack(
     return np.stack(train_rows), np.stack(val_rows), meta
 
 
+def _segment_length(total_epochs: int, preferred: int) -> int:
+    """Segment length for ``fit_many_segmented``: the largest divisor of
+    ``total_epochs`` that is ≤ ``preferred``, so no segment runs surplus
+    (frozen, see ``make_fit``) epochs past the budget. Falls back to
+    ``preferred`` (exactness is still guaranteed by the engine's
+    epoch-budget freeze; a non-divisor only wastes the surplus compute)
+    when the largest divisor would make segments tiny."""
+    total = max(int(total_epochs), 1)
+    preferred = max(min(preferred, total), 1)
+    best = max((d for d in range(1, preferred + 1) if total % d == 0), default=1)
+    return best if best >= max(preferred // 2, 1) else preferred
+
+
 def stacked_init(model: ModelDef, key: jax.Array, n_models: int):
     """Initialize a stack of independent models (leading model axis)."""
     keys = jax.random.split(key, n_models)
@@ -140,7 +153,7 @@ def train_per_subject_cv(
     # Segmented execution: one compiled `seg`-epoch program invoked
     # repeatedly (long single-program scans have crashed the TPU runtime;
     # segments also give natural resume points).
-    seg = min(epochs_per_segment, tc.max_epochs)
+    seg = _segment_length(tc.max_epochs, epochs_per_segment)
     fit = make_fit(
         model.apply,
         n_classes,

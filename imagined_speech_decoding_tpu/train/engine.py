@@ -123,13 +123,25 @@ def make_fit(
             x = jax.lax.with_sharding_constraint(x, batch_sharding)
         return x, y
 
+    # Ragged final batches are padded to the static batch size with
+    # zero-weight rows; models whose apply accepts `sample_weight`
+    # (BN-bearing ones) exclude those rows from batch statistics,
+    # matching the reference's short drop_last=False batches exactly.
+    import inspect
+
+    try:
+        _takes_sw = "sample_weight" in inspect.signature(apply_fn).parameters
+    except (TypeError, ValueError):
+        _takes_sw = False
+
     def train_step(X, Y, carry, inp):
         params, mstate, opt_state = carry
         gidx, w, key = inp
         x, y = gather(X, Y, gidx)
+        sw_kw = {"sample_weight": w} if _takes_sw else {}
 
         def loss_fn(p):
-            logits, new_ms = apply_fn(p, mstate, x, train=True, rng=key)
+            logits, new_ms = apply_fn(p, mstate, x, train=True, rng=key, **sw_kw)
             return cross_entropy(logits, y, w), (logits, new_ms)
 
         (loss, (logits, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -176,12 +188,24 @@ def make_fit(
                 (params0_c, mstate0_c, opt_state0_c),
                 (gidx, bw, step_keys),
             )
-            # Early stopping (Lightning EarlyStopping semantics, in-scan):
-            # once stopped, the model is frozen — epoch passes still run
-            # (fixed-shape scan) but their updates are discarded.
-            if early_stop_threshold is not None or early_stop_patience is not None:
+            # Freeze semantics (in-scan, fixed-shape): epoch passes still
+            # run but their updates are discarded once the model has
+            # early-stopped (Lightning EarlyStopping) OR the full-run
+            # epoch budget is exhausted — the latter makes segmented
+            # execution exact when total_epochs is not a multiple of the
+            # segment length (the last segment's surplus epochs are
+            # no-ops, so the result equals a run of exactly
+            # total_epochs).
+            halted = stopped
+            if total_epochs is not None:
+                halted = halted | (ep >= total_epochs)
+            if (
+                early_stop_threshold is not None
+                or early_stop_patience is not None
+                or total_epochs is not None
+            ):
                 frozen = lambda new, old: jax.tree.map(
-                    lambda a, b: jnp.where(stopped, b, a), new, old
+                    lambda a, b: jnp.where(halted, b, a), new, old
                 )
                 params = frozen(params, params0_c)
                 mstate = frozen(mstate, mstate0_c)
@@ -195,7 +219,7 @@ def make_fit(
             gvidx = jnp.take(val_idx, vidx_c, axis=0)
             va_loss, va_acc, va_f1 = eval_pass(X, Y, params, mstate, gvidx, vw_c)
 
-            improved = (va_acc > best_acc) & ~stopped
+            improved = (va_acc > best_acc) & ~halted
             sel = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(improved, a, b), new, old
             )
@@ -317,6 +341,41 @@ def fit_many_segmented(
     return fit_fn.result(carry, history)
 
 
+# Jitted eval/predict kernels, cached per apply_fn so repeated
+# evaluate()/predict() calls (e.g. the 15-subject CV loop) compile the
+# forward graph once and run fused instead of eagerly per op.
+_EVAL_CACHE: Dict = {}
+
+
+def _jitted_eval(apply_fn: Callable, n_classes: int) -> Callable:
+    key = ("eval", apply_fn, n_classes)
+    if key not in _EVAL_CACHE:
+
+        @jax.jit
+        def batch_stats(params, mstate, x, y, wi):
+            logits, _ = apply_fn(params, mstate, x, train=False, rng=None)
+            return (
+                cross_entropy(logits, y, wi) * wi.sum(),
+                confusion_matrix(logits, y, n_classes, wi),
+            )
+
+        _EVAL_CACHE[key] = batch_stats
+    return _EVAL_CACHE[key]
+
+
+def _jitted_predict(apply_fn: Callable) -> Callable:
+    key = ("predict", apply_fn)
+    if key not in _EVAL_CACHE:
+
+        @jax.jit
+        def batch_pred(params, mstate, x):
+            logits, _ = apply_fn(params, mstate, x, train=False, rng=None)
+            return jnp.argmax(logits, axis=-1)
+
+        _EVAL_CACHE[key] = batch_pred
+    return _EVAL_CACHE[key]
+
+
 def evaluate(
     apply_fn: Callable,
     params,
@@ -328,14 +387,14 @@ def evaluate(
 ) -> Dict[str, float]:
     """Host-convenience full-dataset evaluation (single model)."""
     idx, w = sequential_batch_indices(X.shape[0], batch_size)
+    batch_stats = _jitted_eval(apply_fn, n_classes)
     loss_sum, cm = 0.0, jnp.zeros((n_classes, n_classes), jnp.float32)
     for i in range(idx.shape[0]):
         x = jnp.take(X, jnp.asarray(idx[i]), axis=0)
         y = jnp.take(Y, jnp.asarray(idx[i]), axis=0)
-        wi = jnp.asarray(w[i])
-        logits, _ = apply_fn(params, mstate, x, train=False, rng=None)
-        loss_sum += float(cross_entropy(logits, y, wi) * wi.sum())
-        cm = cm + confusion_matrix(logits, y, n_classes, wi)
+        loss_i, cm_i = batch_stats(params, mstate, x, y, jnp.asarray(w[i]))
+        loss_sum += float(loss_i)
+        cm = cm + cm_i
     total = float(cm.sum())
     return {
         "loss": loss_sum / max(total, 1.0),
@@ -352,9 +411,9 @@ def predict(
     ``src/fast/train/trainer.py:82-93``)."""
     n = X.shape[0]
     idx, w = sequential_batch_indices(n, batch_size)
+    batch_pred = _jitted_predict(apply_fn)
     preds = []
     for i in range(idx.shape[0]):
         x = jnp.take(X, jnp.asarray(idx[i]), axis=0)
-        logits, _ = apply_fn(params, mstate, x, train=False, rng=None)
-        preds.append(np.asarray(jnp.argmax(logits, axis=-1)))
+        preds.append(np.asarray(batch_pred(params, mstate, x)))
     return np.concatenate(preds)[:n]

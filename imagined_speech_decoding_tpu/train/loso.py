@@ -113,7 +113,9 @@ def pretrain_loso(
     from ..parallel.mesh import mesh_strategy, shard_model_stack
 
     batch_sharding, stack_axis, stack_mesh = mesh_strategy(mesh_axis)
-    seg = min(25, epochs)
+    from .cv import _segment_length
+
+    seg = _segment_length(epochs, 25)
     fit = make_fit(
         model.apply, n_classes, epochs=seg, batch_size=batch_size,
         n_train=n_train, n_val=n_val, learning_rate=learning_rate,

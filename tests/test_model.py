@@ -361,3 +361,36 @@ class TestDeterminism:
         l_jit = f(params, state, jnp.asarray(dummy_eeg_small))
         l_eager, _ = fast_apply(params, state, jnp.asarray(dummy_eeg_small), cfg)
         np.testing.assert_allclose(np.asarray(l_jit), np.asarray(l_eager), rtol=1e-4, atol=1e-5)
+
+
+class TestSampleWeightedHeadBN:
+    """Zero-weight padding trials must not touch the BN statistics of
+    BN-bearing zone heads: padded-batch apply must equal ragged-batch
+    apply on the real trials (reference drop_last=False semantics)."""
+
+    @pytest.mark.parametrize("head", ["CVBlock", "EEGNet_Encoder", "HeadConv_Paper_Version"])
+    def test_fast_padded_equals_ragged(self, small_config, head):
+        import dataclasses
+
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+
+        cfg = dataclasses.replace(small_config, head=head, dropout=0.0)
+        model = make_fast_model(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(
+            rng.normal(size=(6, cfg.n_channels, cfg.seq_len)).astype(np.float32)
+        )
+        real = x[:4]
+        padded = jnp.concatenate([real, x[:2]], axis=0)
+        w = jnp.asarray([1.0] * 4 + [0.0] * 2, jnp.float32)
+
+        ref_logits, ref_state = model.apply(params, state, real, train=True, rng=None)
+        out_logits, out_state = model.apply(
+            params, state, padded, train=True, rng=None, sample_weight=w
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_logits[:4]), np.asarray(ref_logits), rtol=1e-4, atol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(out_state), jax.tree.leaves(ref_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

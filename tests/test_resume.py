@@ -85,3 +85,39 @@ class TestSegmentCheckpoint:
         _run(setup, 4, ckpt_dir=ckpt_dir)
         fresh = _run(setup, 2, ckpt_dir=ckpt_dir, resume=False)
         assert fresh.history["loss"].shape[-1] == 2
+
+
+class TestEpochBudgetFreeze:
+    """total_epochs not divisible by the segment length: surplus epochs
+    in the final segment must be no-ops, so segmented execution equals a
+    run of exactly total_epochs (the engine freezes updates once
+    ep >= total_epochs)."""
+
+    def test_surplus_segment_is_noop(self, setup, small_config_module):
+        _, keys, params0, state0, tidx, vidx, X, Y = setup
+        cfg = small_config_module
+        model = make_fast_model(cfg)
+        n_train, n_val = tidx.shape[1], vidx.shape[1]
+        fit = make_fit(
+            model.apply, cfg.n_classes, epochs=2, batch_size=8,
+            n_train=n_train, n_val=n_val, warmup_epochs=1, total_epochs=5,
+        )
+        segment = jax.jit(jax.vmap(fit.segment, in_axes=(0, 0, 0, 0, None, None)))
+        carry = jax.vmap(fit.init_carry)(params0, state0)
+        snapshots = []
+        for s in range(4):  # 8 epochs attempted; budget is 5
+            seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
+            carry, _ = segment(carry, seg_keys, tidx, vidx, X, Y)
+            snapshots.append(carry)
+
+        p4, p6, p8 = snapshots[1][0], snapshots[2][0], snapshots[3][0]
+        # epoch 4 (the 5th) still trains...
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(p4), jax.tree.leaves(p6))
+        )
+        # ...but epochs 5-7 are frozen: params, best snapshot, and
+        # optimizer state are all bit-identical after the budget.
+        for i in (0, 2, 3, 4, 5, 6):  # params, opt, best_params, best_ms, best_acc, best_ep
+            for a, b in zip(jax.tree.leaves(snapshots[2][i]), jax.tree.leaves(snapshots[3][i])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
