@@ -127,10 +127,6 @@ _MODEL_KEYS = {f.name for f in dataclasses.fields(FASTConfig)}
 _TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
 _DATA_KEYS = {f.name for f in dataclasses.fields(DataConfig)}
 
-# Reference-YAML key aliases → our dataclass fields.
-_TRAIN_ALIASES = {"num_workers": None, "precision": "precision"}
-
-
 def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> ExperimentConfig:
     """Load an ``ExperimentConfig`` from YAML with optional flat overrides.
 
@@ -157,11 +153,7 @@ def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
         if k in _MODEL_KEYS:
             model_kw[k] = v
     for k, v in (raw.get("training") or {}).items():
-        if k == "max_epochs":
-            train_kw["max_epochs"] = v
-        elif k == "learning_rate":
-            train_kw["learning_rate"] = v
-        elif k == "precision":
+        if k == "precision":
             train_kw["precision"] = "bf16" if "bf16" in str(v) else "f32"
         elif k in _TRAIN_KEYS:
             train_kw[k] = v

@@ -69,11 +69,13 @@ def _load_lib() -> ctypes.CDLL:
 
 
 def available() -> bool:
-    """True if the native library is (or can be) built and loaded."""
+    """True if the native library is (or can be) built and loaded.
+    ``OSError`` covers a present-but-unloadable .so (wrong arch/glibc
+    from a copied checkout) — the probe must return False, not raise."""
     try:
         _load_lib()
         return True
-    except RuntimeError:
+    except (RuntimeError, OSError):
         return False
 
 

@@ -85,7 +85,18 @@ def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[
     out: Dict[str, np.ndarray] = {}
     for i in range(n_subjects):
         col = 2 * (i + 1)
-        raw = pd.to_numeric(df.iloc[3:53, col], errors="coerce").to_numpy()
+        raw = pd.to_numeric(df.iloc[3:53, col], errors="coerce").to_numpy(np.float64)
+        # Validate BEFORE the uint8 cast: a NaN (blank/non-numeric cell)
+        # or out-of-range value would silently wrap to a fake class id
+        # and corrupt every downstream test metric.
+        bad = ~np.isfinite(raw) | (raw < 1) | (raw > 5) | (raw != np.floor(raw))
+        if bad.any():
+            rows = (np.nonzero(bad)[0] + 4).tolist()  # 1-based sheet rows
+            raise ValueError(
+                f"answer sheet column {col} (subject {SUBJECTS[i]}) has "
+                f"invalid label cells at sheet rows {rows[:10]} "
+                f"(values must be integers 1-5)"
+            )
         out[SUBJECTS[i]] = (raw - 1).astype(np.uint8)
     return out
 

@@ -41,8 +41,14 @@ def synthetic_trials(
 
     y = rng.integers(0, n_classes, size=n_trials).astype(np.uint8)
     x = rng.normal(scale=1.0, size=(n_trials, n_channels, n_samples)).astype(np.float32)
-    # Crude 1/f coloring: cumulative-sum smoothing of white noise.
-    smooth = np.diff(np.cumsum(x, axis=-1, dtype=np.float32), prepend=np.float32(0), axis=-1)
+    # Crude 1/f coloring: mix in a first-order AR(1) low-pass of the
+    # white noise (unit-variance normalized), tilting the spectrum
+    # toward low frequencies like resting EEG background.
+    from scipy.signal import lfilter
+
+    a = 0.9
+    smooth = lfilter([1.0], [1.0, -a], x, axis=-1).astype(np.float32)
+    smooth *= np.float32(np.sqrt(1.0 - a * a))  # AR(1) stationary gain
     x = (0.5 * x + 0.5 * smooth).astype(np.float32)
 
     phases = rng.uniform(0, 2 * np.pi, size=(n_trials, 3))

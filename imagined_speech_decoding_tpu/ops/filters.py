@@ -110,9 +110,18 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: Optional[jnp.ndarray] = None):
 
 
 def _odd_ext(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Odd extension of the trailing axis by ``n`` samples on both ends."""
+    """Odd extension of the trailing axis by ``n`` samples on both ends.
+
+    Raises like SciPy when the signal is too short — the reversed slices
+    would silently truncate and corrupt the filtfilt output otherwise.
+    """
     if n < 1:
         return x
+    if x.shape[-1] <= n:
+        raise ValueError(
+            f"The length of the input vector x must be greater than padlen, "
+            f"which is {n} (got {x.shape[-1]} samples)"
+        )
     left = 2 * x[..., :1] - x[..., n:0:-1]
     right = 2 * x[..., -1:] - x[..., -2 : -(n + 2) : -1]
     return jnp.concatenate([left, x, right], axis=-1)

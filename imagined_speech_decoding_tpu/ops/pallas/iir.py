@@ -36,12 +36,13 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(sos: np.ndarray, t_len: int):
     """Kernel body for a static SOS cascade and signal length.
 
-    Refs: ``x (T, Rt)``, ``zi (2S, Rt)``, ``out (T, Rt)``.
+    Refs: ``x (T, Rt)``, ``zi (2S, Rt)``, ``out (T, Rt)``,
+    ``zf (2S, Rt)`` (final section states, for chunked continuation).
     """
     n_sections = sos.shape[0]
     coef = [tuple(float(c) for c in row) for row in sos]  # static constants
 
-    def kernel(x_ref, zi_ref, out_ref):
+    def kernel(x_ref, zi_ref, out_ref, zf_ref):
         def body(t, z):
             out = x_ref[t, :]
             new_z = []
@@ -56,7 +57,9 @@ def _make_kernel(sos: np.ndarray, t_len: int):
             return tuple(new_z)
 
         z0 = tuple(zi_ref[i, :] for i in range(2 * n_sections))
-        jax.lax.fori_loop(0, t_len, body, z0)
+        z_final = jax.lax.fori_loop(0, t_len, body, z0)
+        for i in range(2 * n_sections):
+            zf_ref[i, :] = z_final[i]
 
     return kernel
 
@@ -67,8 +70,12 @@ def sosfilt_time_major(
     zi: Optional[jnp.ndarray] = None,  # (2S, R)
     row_tile: int = 1024,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Causal biquad cascade over axis 0 of a time-major ``(T, R)`` array."""
+    return_zf: bool = False,
+):
+    """Causal biquad cascade over axis 0 of a time-major ``(T, R)`` array.
+
+    With ``return_zf=True`` also returns the final section states
+    ``(2S, R)`` for chunked/streaming continuation."""
     sos = np.asarray(sos, np.float64)
     sos = sos / sos[:, 3:4]
     n_sections = sos.shape[0]
@@ -83,23 +90,30 @@ def sosfilt_time_major(
 
     kernel = _make_kernel(sos, t_len)
     grid = (r_pad // row_tile,)
-    out = pl.pallas_call(
+    state_spec = pl.BlockSpec(
+        (2 * n_sections, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out, zf = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_len, r_pad), xt.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, r_pad), xt.dtype),
+            jax.ShapeDtypeStruct((2 * n_sections, r_pad), xt.dtype),
+        ),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((t_len, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (2 * n_sections, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-                ),
+                state_spec,
             ],
-            out_specs=pl.BlockSpec(
-                (t_len, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            out_specs=(
+                pl.BlockSpec((t_len, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                state_spec,
             ),
         ),
         interpret=interpret,
     )(xt, zi.astype(xt.dtype))
+    if return_zf:
+        return out[:, :r], zf[:, :r]
     return out[:, :r]
 
 
@@ -109,19 +123,28 @@ def sosfilt_pallas(
     zi: Optional[jnp.ndarray] = None,  # (..., S, 2) scipy layout
     row_tile: int = 1024,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Drop-in for ``ops.filters.sosfilt``: causal filtering over the
-    trailing axis of ``(..., T)``, batched, optional scipy-layout ``zi``."""
+    trailing axis of ``(..., T)``, batched, optional scipy-layout ``zi``.
+    Like ``ops.filters.sosfilt``, returns ``(y, zf)`` — ``zf`` the final
+    section states ``(..., S, 2)`` — when ``zi`` is given, else ``y``."""
     batch_shape = x.shape[:-1]
     t_len = x.shape[-1]
     n_sections = np.asarray(sos).shape[0]
     xt = jnp.moveaxis(x.reshape((-1, t_len)), -1, 0)  # (T, R)
-    zf = None
+    zi_t = None
     if zi is not None:
         zi_b = jnp.broadcast_to(zi, batch_shape + (n_sections, 2))
-        zf = jnp.moveaxis(zi_b.reshape((-1, n_sections * 2)), -1, 0)  # (2S, R)
-    yt = sosfilt_time_major(sos, xt, zi=zf, row_tile=row_tile, interpret=interpret)
-    return jnp.moveaxis(yt, 0, -1).reshape(batch_shape + (t_len,))
+        zi_t = jnp.moveaxis(zi_b.reshape((-1, n_sections * 2)), -1, 0)  # (2S, R)
+    if zi is None:
+        yt = sosfilt_time_major(sos, xt, zi=None, row_tile=row_tile, interpret=interpret)
+        return jnp.moveaxis(yt, 0, -1).reshape(batch_shape + (t_len,))
+    yt, zf_t = sosfilt_time_major(
+        sos, xt, zi=zi_t, row_tile=row_tile, interpret=interpret, return_zf=True
+    )
+    y = jnp.moveaxis(yt, 0, -1).reshape(batch_shape + (t_len,))
+    zf = jnp.moveaxis(zf_t, 0, -1).reshape(batch_shape + (n_sections, 2))
+    return y, zf
 
 
 def sosfiltfilt_pallas(
@@ -146,10 +169,10 @@ def sosfiltfilt_pallas(
     zi = jnp.asarray(np.asarray(sosfilt_zi(sos), np.float64), x.dtype)  # (S, 2)
 
     ext = _odd_ext(x, padlen)
-    y = sosfilt_pallas(sos, ext, zi=zi * ext[..., :1, None],
-                       row_tile=row_tile, interpret=interpret)
+    y, _ = sosfilt_pallas(sos, ext, zi=zi * ext[..., :1, None],
+                          row_tile=row_tile, interpret=interpret)
     y = jnp.flip(y, axis=-1)
-    y = sosfilt_pallas(sos, y, zi=zi * y[..., :1, None],
-                       row_tile=row_tile, interpret=interpret)
+    y, _ = sosfilt_pallas(sos, y, zi=zi * y[..., :1, None],
+                          row_tile=row_tile, interpret=interpret)
     y = jnp.flip(y, axis=-1)
     return y[..., padlen : y.shape[-1] - padlen] if padlen > 0 else y

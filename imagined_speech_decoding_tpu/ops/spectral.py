@@ -81,6 +81,19 @@ def welch_psd(
     Hann window, 50% overlap, constant detrend per segment, one-sided
     density scaling. ``x (..., T) -> Pxx (..., F)``.
     """
+    if nperseg > x.shape[-1]:
+        # scipy.signal.welch clamps nperseg to the signal length (with a
+        # warning) instead of failing; without this, short signals hit
+        # an opaque empty-stack error in sliding_window.
+        import warnings
+
+        warnings.warn(
+            f"nperseg = {nperseg} is greater than signal length = "
+            f"{x.shape[-1]}, using nperseg = {x.shape[-1]}",
+            stacklevel=2,
+        )
+        nperseg = x.shape[-1]
+        noverlap = None
     if noverlap is None:
         noverlap = nperseg // 2
     step = nperseg - noverlap

@@ -73,7 +73,9 @@ class StepTimer:
             sync()
         now = time.perf_counter()
         self._count += 1
-        if self._count <= self.warmup:
+        # The first lap can never produce a delta (no prior timestamp),
+        # so warmup=0 behaves like warmup=1 instead of crashing.
+        if self._count <= self.warmup or self._t0 is None:
             self._t0 = now
             return None
         delta = now - self._t0

@@ -61,11 +61,13 @@ def _load_lib() -> ctypes.CDLL:
 
 
 def native_available() -> bool:
-    """True if the native ring can be built/loaded on this host."""
+    """True if the native ring can be built/loaded on this host.
+    ``OSError`` covers a present-but-unloadable .so (wrong arch/glibc
+    from a copied checkout) — the probe must return False, not raise."""
     try:
         _load_lib()
         return True
-    except RuntimeError:
+    except (RuntimeError, OSError):
         return False
 
 

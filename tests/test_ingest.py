@@ -154,3 +154,36 @@ class TestMat73AndLabels:
         assert resolve_excel_path(base) == os.path.abspath(csv) or resolve_excel_path(
             base
         ).endswith(".csv")
+
+
+class TestLabelValidation:
+    def test_blank_cell_raises_not_class0(self, tmp_path):
+        """A blank answer-sheet cell must raise, not silently become
+        class 0 via the NaN -> uint8 cast."""
+        from imagined_speech_decoding_tpu.data.ingest import load_excel_labels
+
+        labels = [np.random.default_rng(i).integers(0, K, 50) for i in range(len(SUBJECTS))]
+        csv = str(tmp_path / "answers.csv")
+        _write_answer_csv(csv, labels)
+        # blank out one cell of subject 3's column
+        rows = open(csv).read().splitlines()
+        cells = rows[10].split(",")
+        cells[2 * 3] = ""
+        rows[10] = ",".join(cells)
+        open(csv, "w").write("\n".join(rows) + "\n")
+        with pytest.raises(ValueError, match="invalid label cells"):
+            load_excel_labels(csv)
+
+    def test_out_of_range_raises(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import load_excel_labels
+
+        labels = [np.random.default_rng(i).integers(0, K, 50) for i in range(len(SUBJECTS))]
+        csv = str(tmp_path / "answers.csv")
+        _write_answer_csv(csv, labels)
+        rows = open(csv).read().splitlines()
+        cells = rows[5].split(",")
+        cells[2] = "9"  # label must be 1-5
+        rows[5] = ",".join(cells)
+        open(csv, "w").write("\n".join(rows) + "\n")
+        with pytest.raises(ValueError, match="invalid label cells"):
+            load_excel_labels(csv)

@@ -290,3 +290,24 @@ class TestAugment:
         x = jnp.ones((4, 8, 100))
         y = ops.augment_batch(key, x)
         assert y.shape == x.shape
+
+
+class TestFilterShortSignals:
+    def test_filtfilt_raises_like_scipy_on_short_input(self):
+        """padlen >= T must raise (SciPy behavior), not silently return a
+        truncated, corrupted signal."""
+        from imagined_speech_decoding_tpu.ops.filters import butter_sos, sosfiltfilt
+
+        sos = butter_sos(250.0, 4.0, 40.0, order=4)
+        x = jnp.zeros((2, 20))  # default padlen = 27 > 20
+        with pytest.raises(ValueError, match="greater than padlen"):
+            sosfiltfilt(sos, x)
+
+    def test_welch_clamps_nperseg(self):
+        from imagined_speech_decoding_tpu.ops.spectral import welch_psd
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 100)).astype(np.float32))
+        with pytest.warns(UserWarning, match="nperseg"):
+            freqs, p = welch_psd(x, fs=100.0, nperseg=256)
+        assert p.shape[-1] == 100 // 2 + 1
+        assert np.isfinite(np.asarray(p)).all()

@@ -35,15 +35,36 @@ class TestSosfiltPallas:
         sos = butter_sos(250.0, None, 30.0, 2)
         zi = sps.sosfilt_zi(sos)  # (S, 2)
         x0 = eeg[..., :1]
-        ours = np.asarray(
-            sosfilt_pallas(
-                sos, jnp.asarray(eeg), zi=jnp.asarray(zi * x0[..., None]), interpret=True
-            )
+        ours, zf_ours = sosfilt_pallas(
+            sos, jnp.asarray(eeg), zi=jnp.asarray(zi * x0[..., None]), interpret=True
         )
         # scipy wants zi as (n_sections, ..batch.., 2)
         zi_ref = zi[:, None, None, :] * x0[None, :, :, :].astype(np.float64)
-        ref, _ = sps.sosfilt(sos, eeg.astype(np.float64), axis=-1, zi=zi_ref)
-        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=RTOL * np.abs(ref).max())
+        ref, zf_ref = sps.sosfilt(sos, eeg.astype(np.float64), axis=-1, zi=zi_ref)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref, rtol=RTOL, atol=RTOL * np.abs(ref).max()
+        )
+        # final state parity (the streaming/chunked-continuation contract)
+        zf_ref_ours_layout = np.moveaxis(zf_ref, 0, -2)  # (..., S, 2)
+        np.testing.assert_allclose(
+            np.asarray(zf_ours), zf_ref_ours_layout,
+            rtol=RTOL, atol=RTOL * np.abs(zf_ref).max(),
+        )
+
+    def test_chunked_continuation_matches_whole(self, eeg):
+        """Filtering in two chunks with the returned zf must equal one
+        whole-signal pass (the drop-in sosfilt streaming contract)."""
+        sos = butter_sos(250.0, 4.0, 40.0, 2)
+        x = jnp.asarray(eeg)
+        zi0 = jnp.zeros(eeg.shape[:-1] + (sos.shape[0], 2), x.dtype)
+        whole, _ = sosfilt_pallas(sos, x, zi=zi0, interpret=True)
+        t_half = eeg.shape[-1] // 2
+        y1, zf = sosfilt_pallas(sos, x[..., :t_half], zi=zi0, interpret=True)
+        y2, _ = sosfilt_pallas(sos, x[..., t_half:], zi=zf, interpret=True)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1),
+            np.asarray(whole), rtol=1e-5, atol=1e-5,
+        )
 
     def test_odd_row_count_covered(self):
         """Row counts that don't divide the tile must still be computed
