@@ -11,11 +11,11 @@ the HDF5 layer remains the fallback.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
+
+from .._native import load_native_lib
 
 _DTYPES = {np.dtype(np.float32): 0, np.dtype(np.uint8): 1}
 _DTYPES_INV = {0: np.dtype(np.float32), 1: np.dtype(np.uint8)}
@@ -23,28 +23,11 @@ _DTYPES_INV = {0: np.dtype(np.float32), 1: np.dtype(np.uint8)}
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _native_dir() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "native",
-    )
-
-
 def _load_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    so_path = os.path.join(_native_dir(), "libeegcache.so")
-    if not os.path.exists(so_path):
-        build = os.path.join(_native_dir(), "build.sh")
-        try:
-            subprocess.run(["sh", build], check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            raise RuntimeError(
-                f"libeegcache.so missing and build failed ({e}); "
-                "use the HDF5 cache layer instead"
-            ) from e
-    lib = ctypes.CDLL(so_path)
+    lib = load_native_lib("libeegcache.so", "use the HDF5 cache layer instead")
     lib.eegcache_write.restype = ctypes.c_int
     lib.eegcache_write.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32,
@@ -69,13 +52,11 @@ def _load_lib() -> ctypes.CDLL:
 
 
 def available() -> bool:
-    """True if the native library is (or can be) built and loaded.
-    ``OSError`` covers a present-but-unloadable .so (wrong arch/glibc
-    from a copied checkout) — the probe must return False, not raise."""
+    """True if the native library is (or can be) built and loaded."""
     try:
         _load_lib()
         return True
-    except (RuntimeError, OSError):
+    except RuntimeError:
         return False
 
 
@@ -103,25 +84,44 @@ class FastCache:
         self._h = self._lib.eegcache_open(path.encode())
         if not self._h:
             raise IOError(f"cannot open cache {path}")
-        self.dtype = _DTYPES_INV[self._lib.eegcache_dtype(self._h)]
+        code = self._lib.eegcache_dtype(self._h)
+        if code not in _DTYPES_INV:
+            # close before raising — no __del__ would free the C handle
+            self.close()
+            raise TypeError(
+                f"cache {path} has on-disk dtype code {code} with no numpy "
+                "mapping on this reader (supported: float32, uint8)"
+            )
+        self.dtype = _DTYPES_INV[code]
         ndim = self._lib.eegcache_ndim(self._h)
         dims = (ctypes.c_uint64 * ndim)()
         self._lib.eegcache_dims(self._h, dims)
         self.shape: Tuple[int, ...] = tuple(int(d) for d in dims)
 
+    def _handle(self):
+        """Guard every C call: a NULL handle after close() would be
+        dereferenced by the native code (segfault, not an exception)."""
+        if not self._h:
+            raise RuntimeError("cache reader is closed")
+        return self._h
+
     def read_all(self, n_threads: int = 8) -> np.ndarray:
+        h = self._handle()
         out = np.empty(self.shape, self.dtype)
         rc = self._lib.eegcache_read_all(
-            self._h, out.ctypes.data_as(ctypes.c_void_p), n_threads
+            h, out.ctypes.data_as(ctypes.c_void_p), n_threads
         )
         if rc != 0:
             raise IOError(f"eegcache_read_all failed with code {rc}")
         return out
 
     def read_rows(self, start: int, count: int, n_threads: int = 8) -> np.ndarray:
+        h = self._handle()
+        if start < 0 or count < 0:
+            raise ValueError(f"start/count must be non-negative, got {start}/{count}")
         out = np.empty((count,) + self.shape[1:], self.dtype)
         rc = self._lib.eegcache_read_rows(
-            self._h, start, count, out.ctypes.data_as(ctypes.c_void_p), n_threads
+            h, start, count, out.ctypes.data_as(ctypes.c_void_p), n_threads
         )
         if rc != 0:
             raise IOError(f"eegcache_read_rows failed with code {rc}")

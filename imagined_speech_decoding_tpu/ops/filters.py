@@ -153,8 +153,14 @@ def filtfilt(
     return y[..., padlen : y.shape[-1] - padlen] if padlen > 0 else y
 
 
-def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, padlen: Optional[int] = None) -> jnp.ndarray:
-    """Zero-phase biquad-cascade filter = ``scipy.signal.sosfiltfilt`` defaults."""
+def sos_zero_phase(
+    sosfilt_fn, sos: np.ndarray, x: jnp.ndarray, padlen: Optional[int] = None
+) -> jnp.ndarray:
+    """Shared ``sosfiltfilt`` trace-time machinery (SciPy-default padlen
+    formula, odd extension, ``sosfilt_zi`` steady-state seeding, the
+    forward-backward flips), parameterized on the causal filter backend
+    ``sosfilt_fn(sos, x, zi) -> (y, zf)`` so the XLA and Pallas paths
+    can never drift apart."""
     from scipy.signal import sosfilt_zi  # host-side, trace-time only
 
     sos = np.asarray(sos, np.float64)
@@ -166,11 +172,16 @@ def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, padlen: Optional[int] = None) -
 
     ext = _odd_ext(x, padlen)
     zi_j = jnp.asarray(zi, x.dtype)
-    y, _ = sosfilt(sos, ext, zi=zi_j * ext[..., :1, None])
+    y, _ = sosfilt_fn(sos, ext, zi_j * ext[..., :1, None])
     y = jnp.flip(y, axis=-1)
-    y, _ = sosfilt(sos, y, zi=zi_j * y[..., :1, None])
+    y, _ = sosfilt_fn(sos, y, zi_j * y[..., :1, None])
     y = jnp.flip(y, axis=-1)
     return y[..., padlen : y.shape[-1] - padlen] if padlen > 0 else y
+
+
+def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, padlen: Optional[int] = None) -> jnp.ndarray:
+    """Zero-phase biquad-cascade filter = ``scipy.signal.sosfiltfilt`` defaults."""
+    return sos_zero_phase(lambda s, v, zi: sosfilt(s, v, zi=zi), sos, x, padlen)
 
 
 def fir_filter(taps: np.ndarray, x: jnp.ndarray, zero_phase: bool = True) -> jnp.ndarray:

@@ -155,24 +155,15 @@ def sosfiltfilt_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Zero-phase forward-backward filtering, SciPy ``sosfiltfilt``
-    semantics (odd extension + ``sosfilt_zi`` steady-state seeding),
-    with both passes running through the Pallas kernel."""
-    from scipy.signal import sosfilt_zi  # host-side, trace-time only
+    semantics, with both passes running through the Pallas kernel. The
+    trace-time machinery (padlen formula, odd extension, ``sosfilt_zi``
+    seeding) is the SAME code as the XLA path (``filters.sos_zero_phase``)
+    so the two can never drift apart."""
+    from ..filters import sos_zero_phase
 
-    from ..filters import _odd_ext
-
-    sos = np.asarray(sos, np.float64)
-    if padlen is None:
-        ntaps = 2 * sos.shape[0] + 1
-        ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
-        padlen = 3 * int(ntaps)
-    zi = jnp.asarray(np.asarray(sosfilt_zi(sos), np.float64), x.dtype)  # (S, 2)
-
-    ext = _odd_ext(x, padlen)
-    y, _ = sosfilt_pallas(sos, ext, zi=zi * ext[..., :1, None],
-                          row_tile=row_tile, interpret=interpret)
-    y = jnp.flip(y, axis=-1)
-    y, _ = sosfilt_pallas(sos, y, zi=zi * y[..., :1, None],
-                          row_tile=row_tile, interpret=interpret)
-    y = jnp.flip(y, axis=-1)
-    return y[..., padlen : y.shape[-1] - padlen] if padlen > 0 else y
+    return sos_zero_phase(
+        lambda s, v, zi: sosfilt_pallas(
+            s, v, zi=zi, row_tile=row_tile, interpret=interpret
+        ),
+        sos, x, padlen,
+    )

@@ -12,36 +12,22 @@ is available.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
+from ._native import load_native_lib
+
 _lib: Optional[ctypes.CDLL] = None
-
-
-def _native_dir() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
-    )
 
 
 def _load_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    so_path = os.path.join(_native_dir(), "libeegring.so")
-    if not os.path.exists(so_path):
-        build = os.path.join(_native_dir(), "build.sh")
-        try:
-            subprocess.run(["sh", build], check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            raise RuntimeError(
-                f"libeegring.so missing and build failed ({e}); "
-                "use serving.StreamingDecoder's Python ring instead"
-            ) from e
-    lib = ctypes.CDLL(so_path)
+    lib = load_native_lib(
+        "libeegring.so", "use serving.StreamingDecoder's Python ring instead"
+    )
     lib.eegring_create.restype = ctypes.c_void_p
     lib.eegring_create.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
     lib.eegring_destroy.argtypes = [ctypes.c_void_p]
@@ -61,13 +47,11 @@ def _load_lib() -> ctypes.CDLL:
 
 
 def native_available() -> bool:
-    """True if the native ring can be built/loaded on this host.
-    ``OSError`` covers a present-but-unloadable .so (wrong arch/glibc
-    from a copied checkout) — the probe must return False, not raise."""
+    """True if the native ring can be built/loaded on this host."""
     try:
         _load_lib()
         return True
-    except (RuntimeError, OSError):
+    except RuntimeError:
         return False
 
 
@@ -86,18 +70,26 @@ class NativeRingBuffer:
         self.n_channels = n_channels
         self.capacity = capacity
 
+    def _handle(self):
+        """Guard every C call: a NULL handle after close() would be
+        dereferenced by the native code (segfault, not an exception)."""
+        if not self._ptr:
+            raise RuntimeError("ring buffer is closed")
+        return self._ptr
+
     def push(self, chunk: np.ndarray) -> None:
         """Append ``(C, n)`` samples (producer side)."""
+        h = self._handle()
         chunk = np.ascontiguousarray(chunk, np.float32)
         if chunk.ndim != 2 or chunk.shape[0] != self.n_channels:
             raise ValueError(f"expected ({self.n_channels}, n), got {chunk.shape}")
         self._lib.eegring_push(
-            self._ptr, chunk.ctypes.data_as(ctypes.c_void_p), chunk.shape[1]
+            h, chunk.ctypes.data_as(ctypes.c_void_p), chunk.shape[1]
         )
 
     @property
     def total_pushed(self) -> int:
-        return int(self._lib.eegring_total(self._ptr))
+        return int(self._lib.eegring_total(self._handle()))
 
     def ready(self, window: int) -> bool:
         return self.total_pushed >= window
@@ -111,9 +103,14 @@ class NativeRingBuffer:
         samples were ever pushed, or if the producer outran the consumer
         ``max_retries`` times (window too close to capacity).
         """
+        h = self._handle()
+        if window > self.capacity:
+            raise ValueError(
+                f"window {window} exceeds ring capacity {self.capacity}"
+            )
         out = np.empty((self.n_channels, window), np.float32)
         rc = self._lib.eegring_snapshot(
-            self._ptr, out.ctypes.data_as(ctypes.c_void_p), window, max_retries
+            h, out.ctypes.data_as(ctypes.c_void_p), window, max_retries
         )
         if rc == -1:
             raise RuntimeError(

@@ -114,9 +114,13 @@ class StreamingDecoder:
         if native:
             from .ringbuf import NativeRingBuffer
 
-            self._ring = NativeRingBuffer(
-                n_channels, ring_capacity or 4 * seq_len
-            )
+            cap = ring_capacity or 4 * seq_len
+            if cap < seq_len:
+                raise ValueError(
+                    f"ring_capacity ({cap}) must be >= seq_len ({seq_len}); "
+                    "a smaller ring could never hold one decode window"
+                )
+            self._ring = NativeRingBuffer(n_channels, cap)
         else:
             self.buffer = np.zeros((n_channels, seq_len), np.float32)
             self.filled = 0

@@ -77,7 +77,9 @@ int read_span_threaded(const Handle* h, uint64_t byte_offset, uint64_t byte_size
     workers.emplace_back([h, dst, byte_offset, lo, hi, t, &status]() {
       FILE* f = std::fopen(h->path.c_str(), "rb");
       if (!f) { status[t] = -1; return; }
-      if (std::fseek(f, static_cast<long>(h->payload_offset + byte_offset + lo), SEEK_SET) != 0) {
+      // fseeko, not fseek: long is 32-bit on some ABIs and a >2 GiB
+      // cache offset would silently truncate.
+      if (fseeko(f, static_cast<off_t>(h->payload_offset + byte_offset + lo), SEEK_SET) != 0) {
         std::fclose(f);
         status[t] = -2;
         return;
@@ -166,7 +168,9 @@ int eegcache_read_all(const void* handle, void* dst, int n_threads) {
 int eegcache_read_rows(const void* handle, uint64_t start, uint64_t count,
                        void* dst, int n_threads) {
   const auto* h = static_cast<const Handle*>(handle);
-  if (start + count > h->header.dims[0]) return -1;
+  // Overflow-safe bounds check: `start + count` could wrap (e.g. a
+  // negative Python int coerced through c_uint64) past a naive check.
+  if (start > h->header.dims[0] || count > h->header.dims[0] - start) return -1;
   uint64_t row_elems = h->total_elems / h->header.dims[0];
   uint64_t esz = dtype_size(h->header.dtype);
   return read_span_threaded(h, start * row_elems * esz, count * row_elems * esz,

@@ -67,7 +67,13 @@ void eegring_push(void* ring_, const float* chunk, uint64_t n) {
   EegRing* ring = static_cast<EegRing*>(ring_);
   if (n == 0) return;
   const uint64_t cap = ring->capacity;
-  const uint64_t start = ring->reserve.fetch_add(n, std::memory_order_release);
+  // seq_cst, NOT release: a release RMW orders only PRIOR accesses, so
+  // the sample stores below could become visible before the increment
+  // (weakly-ordered hardware or compiler reordering), letting a
+  // consumer validate a torn snapshot against a stale `reserve`. The
+  // protocol requires the reservation to be visible before any slot is
+  // touched.
+  const uint64_t start = ring->reserve.fetch_add(n, std::memory_order_seq_cst);
   // Only the last `cap` samples of an oversized chunk can survive.
   uint64_t skip = n > cap ? n - cap : 0;
   for (uint32_t c = 0; c < ring->channels; ++c) {

@@ -52,3 +52,20 @@ class TestFastCache:
     def test_bad_dtype_rejected(self, tmp_dir):
         with pytest.raises(TypeError):
             fastcache.write_cache(f"{tmp_dir}/x.eegc", np.zeros(3, np.float64))
+
+
+def test_closed_reader_raises_not_segfaults(tmp_path):
+    from imagined_speech_decoding_tpu.data import fastcache
+
+    if not fastcache.available():
+        pytest.skip("no native toolchain")
+    import numpy as np
+
+    p = str(tmp_path / "c.eegc")
+    fastcache.write_cache(p, np.arange(12, dtype=np.float32).reshape(3, 4))
+    fc = fastcache.FastCache(p)
+    fc.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fc.read_all()
+    with pytest.raises(RuntimeError, match="closed"):
+        fc.read_rows(0, 1)

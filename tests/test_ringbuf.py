@@ -60,8 +60,16 @@ class TestBasics:
     def test_window_larger_than_capacity_raises(self):
         with ringbuf.NativeRingBuffer(2, 16) as ring:
             ring.push(_pattern(2, 0, 16))
-            with pytest.raises(RuntimeError):
+            with pytest.raises(ValueError, match="capacity"):
                 ring.snapshot_latest(32)
+
+    def test_closed_ring_raises_not_segfaults(self):
+        ring = ringbuf.NativeRingBuffer(2, 16)
+        ring.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            ring.push(_pattern(2, 0, 4))
+        with pytest.raises(RuntimeError, match="closed"):
+            ring.snapshot_latest(8)
 
     def test_monotonic_end_index(self):
         with ringbuf.NativeRingBuffer(2, 64) as ring:
