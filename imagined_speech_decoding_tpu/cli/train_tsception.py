@@ -33,6 +33,14 @@ def build_parser():
     p.add_argument("--output_dir", type=str, default="results/Results_TSception_LOFO")
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SUBJECTS")
     p.add_argument("--synthetic_trials", type=int, default=60)
+    p.add_argument(
+        "--subject_group", type=int, default=1,
+        help="subjects trained per stacked group (TSception's activations "
+        "are ~25x FAST's, so the full subject stack does not fit one "
+        "chip's HBM; each group of subject_group*n_folds models trains "
+        "at once — 1 fits the measured 15.75 GB chip at the real "
+        "geometry; raise it on HBM-richer hardware)",
+    )
     return p
 
 
@@ -104,7 +112,7 @@ def main(argv=None):
     test = {sid: test[sid] for sid in subjects if sid in test}
 
     n_ch, n_t = X.shape[2], X.shape[3]
-    model = make_tsception_model(n_ch, n_t, n_classes=5)
+    model = make_tsception_model(n_ch, n_t, n_classes=5, remat=True)
     tc = TrainConfig(
         max_epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.lr, warmup_epochs=0, final_lr_scale=1.0,
@@ -115,6 +123,7 @@ def main(argv=None):
     result = train_per_subject_cv(
         model, tc, X, Y, subjects, n_classes=5,
         test_per_subject=test, save_dir=args.output_dir,
+        subject_group_size=args.subject_group,
     )
     print(result.summary.to_string(index=False))
     mean_acc = result.summary["Test_Acc"].mean()

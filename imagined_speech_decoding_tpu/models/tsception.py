@@ -125,8 +125,14 @@ def make_tsception_model(
     n_classes: int = 5,
     sfreq: float = 250.0,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ):
-    """TSception as a ``ModelDef`` for the generic training engine."""
+    """TSception as a ``ModelDef`` for the generic training engine.
+
+    ``remat=True`` recomputes the forward in backward (``jax.checkpoint``)
+    — TSception's multi-scale temporal conv activations are ~25x larger
+    than FAST's zone-head ones, so stacked training at the real geometry
+    needs this lever (measured 33.5 GB vs the chip's 15.75 GB without)."""
     from ..train.engine import ModelDef
 
     # meta depends only on (n_channels, sfreq) + the init defaults, so
@@ -143,9 +149,14 @@ def make_tsception_model(
         return params, state
 
     def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
-        return tsception_apply(
-            params, state, x.astype(compute_dtype), meta,
-            n_classes=n_classes, train=train, rng=rng, sample_weight=sample_weight,
-        )
+        def fwd(p, s, xx, rr, sw):
+            return tsception_apply(
+                p, s, xx.astype(compute_dtype), meta,
+                n_classes=n_classes, train=train, rng=rr, sample_weight=sw,
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, state, x, rng, sample_weight)
 
     return ModelDef(init=init, apply=apply)

@@ -116,12 +116,29 @@ def train_per_subject_cv(
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
     mesh_axis: Optional[str] = None,
+    subject_group_size: Optional[int] = None,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
     best fold per subject, evaluate on the official test set, and write
-    the reference artifact tree under ``save_dir``."""
+    the reference artifact tree under ``save_dir``.
+
+    ``subject_group_size``: train the subjects in sequential groups of
+    at most this many (each group still trains its folds stacked). The
+    memory lever for models whose activations are too large to stack
+    all S*K instances in HBM at once (e.g. TSception at the real
+    geometry). Grouping changes the fold/init RNG stream (each group
+    draws its own keys), like choosing a different seed — results are
+    deterministic per grouping, not across groupings.
+    """
     s_count, n_trials = X.shape[:2]
     assert s_count == len(subjects)
+
+    if subject_group_size and s_count > subject_group_size:
+        return _train_grouped(
+            model, tc, X, Y, subjects, n_classes, test_per_subject, save_dir,
+            data_dtype, warm_start, epochs_per_segment, verbose,
+            checkpoint_dir, resume, mesh_axis, subject_group_size,
+        )
     k = tc.n_folds
     m_count = s_count * k
 
@@ -281,4 +298,69 @@ def train_per_subject_cv(
 
     return CVRunResult(
         summary=summary, fit=res, meta=meta, best_fold_per_subject=best_fold_per_subject
+    )
+
+
+def _train_grouped(
+    model, tc, X, Y, subjects, n_classes, test_per_subject, save_dir,
+    data_dtype, warm_start, epochs_per_segment, verbose,
+    checkpoint_dir, resume, mesh_axis, group: int,
+) -> CVRunResult:
+    """Sequential subject-group driver for ``train_per_subject_cv`` (see
+    its ``subject_group_size``): each group runs the stacked engine over
+    its own S_g*K models; per-subject artifacts land in the shared tree
+    and the global artifacts are rewritten from the merged summary."""
+    k = tc.n_folds
+    summaries, fits, best_folds = [], [], {}
+    meta = None
+    for g0 in range(0, len(subjects), group):
+        gsl = slice(g0, g0 + group)
+        ws = None
+        if warm_start is not None:
+            ws = tuple(
+                jax.tree.map(lambda v: v[g0 * k : (g0 + group) * k], part)
+                for part in warm_start
+            )
+        res = train_per_subject_cv(
+            model, tc, X[gsl], Y[gsl], subjects[gsl], n_classes,
+            test_per_subject=test_per_subject, save_dir=save_dir,
+            data_dtype=data_dtype, warm_start=ws,
+            epochs_per_segment=epochs_per_segment, verbose=verbose,
+            checkpoint_dir=(
+                os.path.join(checkpoint_dir, f"group-{g0 // group}")
+                if checkpoint_dir else None
+            ),
+            resume=resume, mesh_axis=mesh_axis,
+        )
+        summaries.append(res.summary)
+        fits.append(res.fit)
+        best_folds.update(res.best_fold_per_subject)
+        meta = meta if meta is not None else res.meta
+
+    summary = pd.concat(summaries, ignore_index=True)
+    fit = jax.tree.map(lambda *vs: np.concatenate([np.asarray(v) for v in vs]), *fits)
+    if save_dir:
+        summary.to_csv(os.path.join(save_dir, "summary_per_subject.csv"), index=False)
+        if not summary.empty:
+            artifacts.plot_subject_accuracy_bar(
+                os.path.join(save_dir, "global_subject_accuracy.png"),
+                summary["Subject"].tolist(), summary["Test_Acc"].tolist(),
+            )
+        # global predictions: concatenate the per-subject CSVs the group
+        # runs already wrote (each group's own global file covered only
+        # its subjects)
+        preds, trues = [], []
+        for sid in subjects:
+            p = os.path.join(save_dir, f"sub-{sid}", "test_predictions.csv")
+            if os.path.exists(p):
+                y_pred, y_true = artifacts.load_predictions_csv(p)
+                preds.append(y_pred)
+                trues.append(y_true)
+        if preds:
+            artifacts.save_predictions_csv(
+                os.path.join(save_dir, "global_test_predictions.csv"),
+                np.concatenate(preds), np.concatenate(trues),
+            )
+    return CVRunResult(
+        summary=summary, fit=fit, meta=meta, best_fold_per_subject=best_folds
     )

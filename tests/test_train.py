@@ -306,3 +306,44 @@ class TestFullBatchLOFO:
         out = plot_averaged_fold_curves(str(tmp_path / "avg.png"), hist, "LOFO")
         import os
         assert os.path.exists(out)
+
+
+class TestSubjectGrouping:
+    @pytest.mark.slow
+    def test_grouped_cv_merges_artifacts(self, small_config, tmp_path):
+        """subject_group_size trains groups sequentially and merges the
+        summary, fit stack, and global artifacts (the HBM lever for
+        big-activation models like TSception)."""
+        import os
+
+        from imagined_speech_decoding_tpu.config import TrainConfig
+        from imagined_speech_decoding_tpu.data.synthetic import synthetic_corpus
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+        from imagined_speech_decoding_tpu.train.cv import train_per_subject_cv
+
+        cfg = small_config
+        model = make_fast_model(cfg)
+        X, Y = synthetic_corpus(0, 3, 18, cfg.n_channels, cfg.seq_len, cfg.n_classes)
+        subjects = ["01", "02", "03"]
+        test = {sid: (X[i, :6], Y[i, :6]) for i, sid in enumerate(subjects)}
+        tc = TrainConfig(max_epochs=2, batch_size=6, n_folds=2, seed=0,
+                         warmup_epochs=1, precision="f32")
+        out = str(tmp_path / "grouped")
+        res = train_per_subject_cv(
+            model, tc, X, Y, subjects, cfg.n_classes,
+            test_per_subject=test, save_dir=out, verbose=False,
+            subject_group_size=2,
+        )
+        assert list(res.summary["Subject"]) == subjects
+        assert set(res.best_fold_per_subject) == set(subjects)
+        # fit stack merged over all 3*2 models
+        assert np.asarray(res.fit.best_val_acc).shape == (6,)
+        assert np.asarray(res.fit.history["val_acc"]).shape == (6, 2)
+        for sid in subjects:
+            assert os.path.exists(os.path.join(out, f"sub-{sid}", "best_subject.npz"))
+        assert os.path.exists(os.path.join(out, "summary_per_subject.csv"))
+        # merged global predictions cover all subjects' test trials
+        from imagined_speech_decoding_tpu.train.artifacts import load_predictions_csv
+
+        pred, true = load_predictions_csv(os.path.join(out, "global_test_predictions.csv"))
+        assert len(pred) == 18
