@@ -86,7 +86,16 @@ def main(argv=None):
         test_acc = np.nan
         if sid in test:
             xt, yt = test[sid]
-            test_acc = pipe.score(xt, yt)
+            y_pred = pipe.predict(xt)
+            test_acc = float(np.mean(y_pred == np.asarray(yt)))
+            # reference-layout predictions so cli/benchmark.py can
+            # aggregate the classical baseline alongside the deep models
+            from ..train.artifacts import save_predictions_csv
+
+            save_predictions_csv(
+                os.path.join(args.output_dir, f"sub-{sid}", "test_predictions.csv"),
+                y_pred, np.asarray(yt).astype(int),
+            )
         rows.append([sid, float(np.mean(cv_accs)), float(np.std(cv_accs)), test_acc])
         print(f"Subject {sid}: CV acc {np.mean(cv_accs):.4f} ± {np.std(cv_accs):.4f}"
               + (f" | test {test_acc:.4f}" if test_acc == test_acc else ""))
