@@ -95,3 +95,19 @@ class TestEndToEndSynthetic:
         model = os.path.basename(tmp_dir)
         df, summary = bench_cli.process_results(parent, model)
         assert len(df) == 2
+
+
+class TestMultiModelComparison:
+    def test_model_summary_covers_all_models(self, tmp_dir):
+        """The reference's FAST-vs-TSception comparison study (notebook
+        cell 49): one benchmark run aggregates every model tree under
+        results_dir into a single Model_Summary with per-model rows."""
+        agg = TestBenchmarkAggregation()
+        for model in ("FAST", "TSception", "svm"):
+            agg._make_tree(tmp_dir, model, ["01", "02"])
+        bench_cli.main(["--results_dir", tmp_dir])
+        import pandas as pd
+
+        summary = pd.read_csv(os.path.join(tmp_dir, "Model_Summary.csv"))
+        assert set(summary["Model"]) == {"FAST", "TSception", "svm"}
+        assert {"Acc_Mean", "F1_Mean", "Global_Acc"} <= set(summary.columns)
