@@ -37,6 +37,20 @@ def adaptive_avg_pool_w(x: jnp.ndarray, out_w: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+def tsception_meta(
+    n_channels: int, sfreq: float = 250.0, num_t: int = 15, num_s: int = 15
+) -> dict:
+    """Static shape metadata shared by init and apply (single source of
+    truth): the three multi-scale temporal kernel widths at 0.5/0.25/
+    0.125 x sfreq and the hemisphere split point."""
+    return {
+        "k_t": [int(sfreq * r) for r in (0.5, 0.25, 0.125)],
+        "half": int(n_channels * 0.5),
+        "num_t": num_t,
+        "num_s": num_s,
+    }
+
+
 def tsception_init(
     key: jax.Array,
     n_channels: int,
@@ -49,8 +63,8 @@ def tsception_init(
     dtype=jnp.float32,
 ):
     ks = jax.random.split(key, 8)
-    k_t = [int(sfreq * r) for r in (0.5, 0.25, 0.125)]
-    half = int(n_channels * 0.5)
+    meta = tsception_meta(n_channels, sfreq, num_t, num_s)
+    k_t, half = meta["k_t"], meta["half"]
     params = {
         "t1": nn.conv2d_init(ks[0], 1, num_t, (1, k_t[0]), dtype=dtype),
         "t2": nn.conv2d_init(ks[1], 1, num_t, (1, k_t[1]), dtype=dtype),
@@ -64,7 +78,6 @@ def tsception_init(
     bns_p, bns_s = bn_init(num_s, dtype)
     params.update({"bn_t": bnt_p, "bn_s": bns_p})
     state = {"bn_t": bnt_s, "bn_s": bns_s}
-    meta = {"k_t": k_t, "half": half, "num_t": num_t, "num_s": num_s}
     return params, state, meta
 
 
@@ -137,10 +150,9 @@ def make_tsception_model(
 
     # meta depends only on (n_channels, sfreq) + the init defaults, so
     # compute it once here — apply works before/without init (e.g. on
-    # loaded checkpoints) with a single source of truth for the shapes.
-    _, _, meta = tsception_init(
-        jax.random.PRNGKey(0), n_channels, n_samples, n_classes, sfreq
-    )
+    # loaded checkpoints) with a single source of truth for the shapes
+    # and no throwaway parameter allocation.
+    meta = tsception_meta(n_channels, sfreq)
 
     def init(key):
         params, state, _ = tsception_init(

@@ -93,9 +93,13 @@ def welch_psd(
             stacklevel=2,
         )
         nperseg = x.shape[-1]
-        noverlap = None
     if noverlap is None:
         noverlap = nperseg // 2
+    elif noverlap >= nperseg:
+        # scipy.signal.welch raises here too (incl. after clamping)
+        raise ValueError(
+            f"noverlap ({noverlap}) must be less than nperseg ({nperseg})"
+        )
     step = nperseg - noverlap
     win = _hann(nperseg)
 

@@ -86,9 +86,17 @@ def _segment_length(total_epochs: int, preferred: int) -> int:
     return best if best >= max(preferred // 2, 1) else preferred
 
 
-def stacked_init(model: ModelDef, key: jax.Array, n_models: int):
-    """Initialize a stack of independent models (leading model axis)."""
-    keys = jax.random.split(key, n_models)
+def stacked_init(
+    model: ModelDef, key: jax.Array, n_models: int, *, total: Optional[int] = None,
+    offset: int = 0,
+):
+    """Initialize a stack of independent models (leading model axis).
+
+    ``total``/``offset`` select a contiguous block out of the key stream
+    a ``total``-model run would draw — so grouped execution (see
+    ``train_per_subject_cv(subject_group_size=...)``) reproduces the
+    exact per-model keys of the ungrouped run."""
+    keys = jax.random.split(key, total or n_models)[offset : offset + n_models]
     return jax.vmap(model.init)(keys)
 
 
@@ -117,6 +125,7 @@ def train_per_subject_cv(
     resume: bool = True,
     mesh_axis: Optional[str] = None,
     subject_group_size: Optional[int] = None,
+    _key_block: Optional[Tuple[int, int]] = None,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
     best fold per subject, evaluate on the official test set, and write
@@ -126,9 +135,9 @@ def train_per_subject_cv(
     at most this many (each group still trains its folds stacked). The
     memory lever for models whose activations are too large to stack
     all S*K instances in HBM at once (e.g. TSception at the real
-    geometry). Grouping changes the fold/init RNG stream (each group
-    draws its own keys), like choosing a different seed — results are
-    deterministic per grouping, not across groupings.
+    geometry). Fold splits and per-model init/fit keys are indexed by
+    GLOBAL model position (``_key_block``), so the grouped run draws
+    the identical RNG streams as the ungrouped one.
     """
     s_count, n_trials = X.shape[:2]
     assert s_count == len(subjects)
@@ -150,10 +159,14 @@ def train_per_subject_cv(
     )
     n_train, n_val = train_idx.shape[1], val_idx.shape[1]
 
+    key_off, key_total = _key_block if _key_block else (0, m_count)
     if warm_start is not None:
         params0, state0 = warm_start  # e.g. LOSO-pretrained (see train.loso)
     else:
-        params0, state0 = stacked_init(model, jax.random.PRNGKey(tc.seed), m_count)
+        params0, state0 = stacked_init(
+            model, jax.random.PRNGKey(tc.seed), m_count,
+            total=key_total, offset=key_off,
+        )
     # Mesh strategies (SURVEY §2.5):
     #   'model' — shard the (subject x fold) stack; each chip trains its
     #     slice with zero collectives (the SPMD replacement for the
@@ -186,7 +199,9 @@ def train_per_subject_cv(
         total_epochs=tc.max_epochs,
         batch_sharding=batch_sharding,
     )
-    fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), m_count)
+    fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), key_total)[
+        key_off : key_off + m_count
+    ]
 
     tidx_d, vidx_d = jnp.asarray(train_idx), jnp.asarray(val_idx)
     m_padded = m_count
@@ -311,9 +326,9 @@ def _train_grouped(
     its own S_g*K models; per-subject artifacts land in the shared tree
     and the global artifacts are rewritten from the merged summary."""
     k = tc.n_folds
+    s_total = len(subjects)
     summaries, fits, best_folds = [], [], {}
-    meta = None
-    for g0 in range(0, len(subjects), group):
+    for g0 in range(0, s_total, group):
         gsl = slice(g0, g0 + group)
         ws = None
         if warm_start is not None:
@@ -331,12 +346,16 @@ def _train_grouped(
                 if checkpoint_dir else None
             ),
             resume=resume, mesh_axis=mesh_axis,
+            # global key indexing: same per-model keys as the ungrouped run
+            _key_block=(g0 * k, s_total * k),
         )
         summaries.append(res.summary)
         fits.append(res.fit)
         best_folds.update(res.best_fold_per_subject)
-        meta = meta if meta is not None else res.meta
 
+    # meta over the CONCATENATED stack (group-local metas carry local
+    # subject indices and must not be returned as-is)
+    meta = [(si, ki) for si in range(s_total) for ki in range(k)]
     summary = pd.concat(summaries, ignore_index=True)
     fit = jax.tree.map(lambda *vs: np.concatenate([np.asarray(v) for v in vs]), *fits)
     if save_dir:
@@ -347,10 +366,14 @@ def _train_grouped(
                 summary["Subject"].tolist(), summary["Test_Acc"].tolist(),
             )
         # global predictions: concatenate the per-subject CSVs the group
-        # runs already wrote (each group's own global file covered only
-        # its subjects)
+        # runs just wrote (each group's own global file covered only its
+        # subjects). Only subjects with test data in THIS run are read —
+        # a stale CSV left in the tree by an earlier run must not leak
+        # into the merged global artifact.
         preds, trues = [], []
         for sid in subjects:
+            if not (test_per_subject and sid in test_per_subject):
+                continue
             p = os.path.join(save_dir, f"sub-{sid}", "test_predictions.csv")
             if os.path.exists(p):
                 y_pred, y_true = artifacts.load_predictions_csv(p)

@@ -343,13 +343,26 @@ def fit_many_segmented(
 
 # Jitted eval/predict kernels, cached per apply_fn so repeated
 # evaluate()/predict() calls (e.g. the 15-subject CV loop) compile the
-# forward graph once and run fused instead of eagerly per op.
-_EVAL_CACHE: Dict = {}
+# forward graph once and run fused instead of eagerly per op. The cache
+# is weakly keyed on apply_fn: entries (and their XLA executables) are
+# dropped when the model goes away, so long-lived processes that build
+# many models don't leak compiled programs.
+import weakref
+
+_EVAL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _per_apply_cache(apply_fn: Callable) -> Dict:
+    try:
+        return _EVAL_CACHE.setdefault(apply_fn, {})
+    except TypeError:  # not weakref-able (e.g. some builtins) — no caching
+        return {}
 
 
 def _jitted_eval(apply_fn: Callable, n_classes: int) -> Callable:
-    key = ("eval", apply_fn, n_classes)
-    if key not in _EVAL_CACHE:
+    cache = _per_apply_cache(apply_fn)
+    key = ("eval", n_classes)
+    if key not in cache:
 
         @jax.jit
         def batch_stats(params, mstate, x, y, wi):
@@ -359,21 +372,21 @@ def _jitted_eval(apply_fn: Callable, n_classes: int) -> Callable:
                 confusion_matrix(logits, y, n_classes, wi),
             )
 
-        _EVAL_CACHE[key] = batch_stats
-    return _EVAL_CACHE[key]
+        cache[key] = batch_stats
+    return cache[key]
 
 
 def _jitted_predict(apply_fn: Callable) -> Callable:
-    key = ("predict", apply_fn)
-    if key not in _EVAL_CACHE:
+    cache = _per_apply_cache(apply_fn)
+    if "predict" not in cache:
 
         @jax.jit
         def batch_pred(params, mstate, x):
             logits, _ = apply_fn(params, mstate, x, train=False, rng=None)
             return jnp.argmax(logits, axis=-1)
 
-        _EVAL_CACHE[key] = batch_pred
-    return _EVAL_CACHE[key]
+        cache["predict"] = batch_pred
+    return cache["predict"]
 
 
 def evaluate(

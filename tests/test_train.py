@@ -347,3 +347,32 @@ class TestSubjectGrouping:
 
         pred, true = load_predictions_csv(os.path.join(out, "global_test_predictions.csv"))
         assert len(pred) == 18
+
+    @pytest.mark.slow
+    def test_grouped_matches_ungrouped_rng(self, small_config, tmp_path):
+        """Global key indexing: the grouped run draws the same per-model
+        init/fit keys as the ungrouped run, so results match."""
+        from imagined_speech_decoding_tpu.config import TrainConfig
+        from imagined_speech_decoding_tpu.data.synthetic import synthetic_corpus
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+        from imagined_speech_decoding_tpu.train.cv import train_per_subject_cv
+
+        cfg = small_config
+        model = make_fast_model(cfg)
+        X, Y = synthetic_corpus(1, 3, 12, cfg.n_channels, cfg.seq_len, cfg.n_classes)
+        subjects = ["01", "02", "03"]
+        tc = TrainConfig(max_epochs=2, batch_size=6, n_folds=2, seed=3,
+                         warmup_epochs=1, precision="f32")
+        ref = train_per_subject_cv(model, tc, X, Y, subjects, cfg.n_classes,
+                                   verbose=False)
+        grp = train_per_subject_cv(model, tc, X, Y, subjects, cfg.n_classes,
+                                   verbose=False, subject_group_size=1)
+        np.testing.assert_allclose(
+            np.asarray(grp.fit.best_val_acc), np.asarray(ref.fit.best_val_acc),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grp.fit.history["loss"]), np.asarray(ref.fit.history["loss"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        assert grp.meta == ref.meta
