@@ -31,6 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from imagined_speech_decoding_tpu._hostid import enable_persistent_cache
+
+# Persistent compilation cache (host-salted): the dominant cold-start
+# cost is the Mosaic compile of the corpus-filter Pallas kernels; with
+# the cache warm the whole bench compiles in seconds.
+_CACHE_DIR = enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)))
+
 REFERENCE_WINDOWS_PER_SEC = 3.9 * 280 * 5  # = 5460, see module docstring
 # Basis note: 5,460 w/s is the reference's measured GPU full-batch step
 # rate — the CONSERVATIVE denominator used for vs_baseline. The
@@ -47,6 +54,12 @@ N_FOLDS = 5
 BENCH_EPOCHS = 4  # measured epochs per timed run
 ACC_EPOCHS = 30  # convergence-evidence epochs (learning proof)
 BATCH_SIZE = 64
+LABEL_NOISE = 0.25  # see corpus-generation comment in main()
+# Expected band for mean best val_acc after ACC_EPOCHS on the noisy
+# corpus (ceiling ~0.80 = 0.75 clean-label + ~0.05 lucky flips;
+# calibrated on TPU v5e — see BASELINE.md). Outside this band =>
+# training-math regression (or corpus change).
+ACC_EXPECTED_RANGE = (0.60, 0.88)
 
 
 def log(*a):
@@ -100,10 +113,15 @@ def main():
         cfg, compute_dtype=compute_dtype, remat=True, head_micro_batch=256
     )
 
+    # 25% label noise: caps reachable val accuracy at ~0.80 (0.75 clean
+    # + chance on flipped) so the convergence number is a pinned
+    # INTERMEDIATE value — training-math regressions show as a drop
+    # below ACC_EXPECTED_RANGE instead of being masked by saturation.
     t0 = time.perf_counter()
     x_flat, y_flat = jax.jit(
         lambda k: synthetic_trials_device(
-            k, N_SUBJECTS * N_TRIALS, cfg.n_channels, cfg.seq_len, cfg.n_classes
+            k, N_SUBJECTS * N_TRIALS, cfg.n_channels, cfg.seq_len, cfg.n_classes,
+            label_noise=LABEL_NOISE,
         )
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(x_flat)
@@ -222,9 +240,12 @@ def main():
         total_epochs=ACC_EPOCHS,
     )
     best_val = float(np.mean(np.asarray(acc_res.best_val_acc)))
-    log(f"bench: convergence run ({ACC_EPOCHS} epochs, 75 models) "
-        f"{time.perf_counter() - t0:.1f}s -> mean best val_acc {best_val:.4f} "
-        f"(chance 0.2)")
+    in_band = ACC_EXPECTED_RANGE[0] <= best_val <= ACC_EXPECTED_RANGE[1]
+    log(f"bench: convergence run ({ACC_EPOCHS} epochs, 75 models, "
+        f"{LABEL_NOISE:.0%} label noise) {time.perf_counter() - t0:.1f}s -> "
+        f"mean best val_acc {best_val:.4f} "
+        f"(chance 0.2, expected band {ACC_EXPECTED_RANGE}, "
+        f"{'OK' if in_band else 'OUT OF BAND'})")
 
     # ---- online-decoding latency: the single jitted raw-window ->
     # posterior graph (BASELINE.json's fixed-latency serving path) ----

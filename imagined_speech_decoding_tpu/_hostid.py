@@ -27,6 +27,31 @@ def host_fingerprint() -> str:
     return hashlib.sha256((platform.machine() + ident).encode()).hexdigest()[:12]
 
 
+def enable_persistent_cache(
+    base: str = None, prefix: str = ".jax_cache", min_compile_secs: float = 0.5
+) -> str:
+    """Turn on JAX's persistent compilation cache in a host-salted dir.
+
+    Call before the first jit execution (import-time config is fine).
+    Kills repeat-run compile cost — most importantly the multi-minute
+    Mosaic compile of the corpus-preprocessing Pallas IIR kernels
+    (VERDICT r1: 914 s cold vs 0.17 s steady) — for bench + every CLI.
+    ``base`` defaults to the repo checkout containing this package.
+    """
+    import jax
+
+    existing = jax.config.jax_compilation_cache_dir
+    if existing:  # respect an already-configured cache (e.g. pytest's)
+        return existing
+    if base is None:
+        base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = salted_cache_dir(base, prefix)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
+
+
 def salted_cache_dir(base: str, prefix: str) -> str:
     """Return ``<base>/<prefix>_<fingerprint>``, pruning sibling cache
     dirs salted for OTHER hosts (and the legacy unsalted dir) so stale

@@ -29,6 +29,7 @@ def build_parser():
     p.add_argument("--fmax", type=float, default=40.0)
     p.add_argument("--output_dir", type=str, default="results/artifact_analysis")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n_trials", type=int, default=100, help="synthetic-mode trial count")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -45,7 +46,7 @@ def main(argv=None):
     if args.synthetic or not args.cache:
         from imagined_speech_decoding_tpu.data import synthetic_trials
 
-        x, _ = synthetic_trials(args.seed, 100, 64, 800)
+        x, _ = synthetic_trials(args.seed, args.n_trials, 64, 800)
     else:
         from imagined_speech_decoding_tpu.data import load_standardized_h5
 
@@ -60,6 +61,8 @@ def main(argv=None):
     freqs, pxx = welch_psd(jnp.asarray(x), fs=SFREQ, nperseg=min(256, n_t))
     pxx = np.asarray(pxx).mean(0)  # (C, F) mean over trials
     sel = (freqs >= args.fmin) & (freqs <= args.fmax)
+    # numeric artifact alongside the plot (testable vs scipy.signal.welch)
+    np.savez(f"{out}/psd.npz", freqs=np.asarray(freqs), pxx=pxx)
 
     fig, ax = plt.subplots(figsize=(10, 5))
     for c in range(n_ch):

@@ -74,6 +74,7 @@ def synthetic_trials_device(
     n_classes: int = 5,
     sfreq: float = SFREQ,
     snr: float = 0.6,
+    label_noise: float = 0.0,
     dtype=None,
 ):
     """Device-side (jit-able) synthetic EEG: same class-conditional
@@ -81,12 +82,22 @@ def synthetic_trials_device(
     on the accelerator — full-corpus generation in milliseconds (the
     host-numpy path needs minutes for billions of gaussians).
 
+    ``label_noise``: fraction of trials whose RETURNED label is
+    re-drawn uniformly from the other classes while the signal keeps
+    the true class. This puts a hard ceiling on reachable accuracy —
+    ``(1 - p) + p/(K-1) * 0`` vs the true posterior's optimum of
+    ``1 - p`` on clean-signal trials — so convergence benches land at a
+    pinned intermediate value instead of saturating at 1.0 (an
+    accuracy-regression canary: a broken LR schedule / leaked BN stat /
+    mis-indexed batch shows up as a drop below the expected band, which
+    saturation would mask).
+
     Returns ``(x (N, C, T), y (N,))`` jax arrays.
     """
     import jax
     import jax.numpy as jnp
 
-    kf, km, ky, kx, kp = jax.random.split(key, 5)
+    kf, km, ky, kx, kp, kn = jax.random.split(key, 6)
     dtype = dtype or jnp.float32
     freqs = 4.0 + 26.0 * jax.random.uniform(kf, (n_classes, 3))
     mixing = jax.random.normal(km, (n_classes, 3, n_channels), dtype)
@@ -98,7 +109,15 @@ def synthetic_trials_device(
         2 * np.pi * freqs[y][:, :, None] * t[None, None, :] + phases[:, :, None]
     ).astype(dtype)
     sig = jnp.einsum("nst,nsc->nct", src, mixing[y])
-    return x + snr * sig, y.astype(jnp.int32)
+    if label_noise > 0.0:
+        kf1, kf2 = jax.random.split(kn)
+        flip = jax.random.uniform(kf1, (n_trials,)) < label_noise
+        # uniform over the K-1 OTHER classes (offset 1..K-1 mod K)
+        offset = jax.random.randint(kf2, (n_trials,), 1, n_classes)
+        y_out = jnp.where(flip, (y + offset) % n_classes, y)
+    else:
+        y_out = y
+    return x + snr * sig, y_out.astype(jnp.int32)
 
 
 def synthetic_corpus(

@@ -36,6 +36,7 @@ def make_online_decoder(
     band: Optional[Tuple[float, float]] = (4.0, 40.0),
     donate: bool = False,
     weights_as_constants: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Callable:
     """Build the jitted raw-window → posterior function.
 
@@ -45,17 +46,35 @@ def make_online_decoder(
     arguments of the compiled graph, partially applied). Set
     ``weights_as_constants=True`` to bake them into the executable
     instead (marginally faster dispatch; reload requires a rebuild).
-    """
-    from .ops.filters import butter_sos, filtfilt, notch_ba, sosfiltfilt
 
-    notch = notch_ba(sfreq, notch_hz) if notch_hz else None
+    ``use_pallas`` selects the IIR backend for the notch/band-pass
+    stages: the Pallas biquad kernel (``ops.pallas.iir`` — section
+    states in registers, no per-step scan overhead; bit-identical
+    trace-time machinery, see ``filters.sos_zero_phase``) or the
+    ``lax.scan`` path. Default: Pallas on TPU, scan elsewhere (the
+    kernel only lowers on TPU).
+    """
+    from scipy.signal import tf2sos
+
+    from .ops.filters import butter_sos, notch_ba, sosfiltfilt
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .ops.pallas import sosfiltfilt_pallas as _sff
+    else:
+        _sff = sosfiltfilt
+
+    # Both stages run as SOS cascades through one backend: the notch's
+    # (b, a) pair converts exactly to a single second-order section.
+    notch_sos = tf2sos(*notch_ba(sfreq, notch_hz)) if notch_hz else None
     sos = butter_sos(sfreq, band[0], band[1]) if band else None
 
     def _decode(p, s, x):
-        if notch is not None:
-            x = filtfilt(notch[0], notch[1], x)
+        if notch_sos is not None:
+            x = _sff(notch_sos, x)
         if sos is not None:
-            x = sosfiltfilt(sos, x)
+            x = _sff(sos, x)
         logits, _ = apply_fn(p, s, x, train=False, rng=None)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 

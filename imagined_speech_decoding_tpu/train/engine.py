@@ -62,10 +62,17 @@ def make_optimizer(
     warmup_epochs: int = 10,
     final_scale: float = 0.1,
     weight_decay: float = 0.01,
+    schedule: Optional[Callable] = None,
 ) -> optax.GradientTransformation:
     """AdamW with the reference warmup-cosine schedule (torch-default
-    betas/eps; decay applies to all params, as torch AdamW does)."""
-    schedule = warmup_cosine_lr(learning_rate, epochs, steps_per_epoch, warmup_epochs, final_scale)
+    betas/eps; decay applies to all params, as torch AdamW does).
+    ``schedule`` overrides the built-in table with a custom
+    ``step -> lr`` fn (e.g. the Lightning-exact off-by-one table used by
+    the trajectory-parity harness, ``tests/test_trajectory_parity.py``)."""
+    if schedule is None:
+        schedule = warmup_cosine_lr(
+            learning_rate, epochs, steps_per_epoch, warmup_epochs, final_scale
+        )
     return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
 
 
@@ -86,6 +93,7 @@ def make_fit(
     early_stop_threshold: Optional[float] = None,
     early_stop_patience: Optional[int] = None,
     batch_sharding=None,
+    schedule: Optional[Callable] = None,
 ) -> Callable:
     """Build the single-model fit function (jit/vmap it at the call site).
 
@@ -103,7 +111,8 @@ def make_fit(
     # `epochs` is one segment and `total_epochs` the whole schedule
     # (optax's step counter carries across segments via opt_state).
     opt = make_optimizer(
-        learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale, weight_decay
+        learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale,
+        weight_decay, schedule=schedule,
     )
 
     vidx_np, vw_np = sequential_batch_indices(n_val, batch_size)

@@ -376,3 +376,39 @@ class TestSubjectGrouping:
             rtol=1e-4, atol=1e-5,
         )
         assert grp.meta == ref.meta
+
+
+class TestScheduleOverride:
+    def test_custom_schedule_drives_lr(self, small_config):
+        """make_fit(schedule=...) must govern the actual step sizes: an
+        all-zero schedule freezes the model; the default one trains."""
+        cfg = small_config
+        model = make_fast_model(cfg)
+        x, y = synthetic_trials(5, 20, n_channels=8, n_samples=200)
+        X, Y = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+        tidx = jnp.arange(12, dtype=jnp.int32)
+        vidx = jnp.arange(12, 20, dtype=jnp.int32)
+        params0, state0 = model.init(jax.random.PRNGKey(0))
+
+        def run(schedule):
+            fit = make_fit(
+                model.apply, cfg.n_classes, epochs=2, batch_size=6,
+                n_train=12, n_val=8, learning_rate=1e-3, warmup_epochs=0,
+                schedule=schedule,
+            )
+            return jax.jit(fit)(
+                jax.random.PRNGKey(3), params0, state0, tidx, vidx, X, Y
+            )
+
+        frozen = run(lambda c: 0.0)
+        moved = run(None)
+        delta_frozen = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(frozen.params), jax.tree.leaves(params0))
+        )
+        delta_moved = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(moved.params), jax.tree.leaves(params0))
+        )
+        assert delta_frozen == 0.0
+        assert delta_moved > 0.0
