@@ -255,15 +255,28 @@ def main():
     p1, s1 = model1.init(jax.random.PRNGKey(7))
     decoder = make_online_decoder(model1.apply, p1, s1)
     x1 = x_flat[:1].astype(jnp.float32)
-    np.asarray(decoder(x1))  # compile
-    lat = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        np.asarray(decoder(x1))
-        lat.append(time.perf_counter() - t0)
-    lat_ms = float(np.median(lat) * 1e3)
+
+    def p50_ms(fn):
+        np.asarray(fn(x1))  # compile
+        lat = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            np.asarray(fn(x1))
+            lat.append(time.perf_counter() - t0)
+        return float(np.median(lat) * 1e3)
+
+    # Dispatch floor: one trivial jitted op through the same
+    # host->device->host path. On the axon remote tunnel this floor is
+    # ~28-40 ms and DOMINATES the decode p50 (measured 2026-08-17:
+    # identity 39 ms, decode-with-filters 28 ms, decode-no-filters
+    # 28 ms — the on-device filter+model compute is <1 ms); on locally
+    # attached TPU the same graph dispatches in <2 ms.
+    floor_ms = p50_ms(jax.jit(lambda v: v * 2.0 + 1.0))
+    lat_ms = p50_ms(decoder)
     log(f"bench: online decode latency (1 window, notch+bandpass+FAST) "
-        f"p50 {lat_ms:.2f} ms")
+        f"p50 {lat_ms:.2f} ms (dispatch floor for ANY 1-window op on "
+        f"this tunnel: {floor_ms:.2f} ms -> on-device compute "
+        f"{max(lat_ms - floor_ms, 0.0):.2f} ms)")
 
     total_windows = pre_windows + train_windows
     total_time = t_pre + t_train
@@ -290,7 +303,9 @@ def main():
             "epochs": BENCH_EPOCHS,
             "train_windows_per_s": round(train_windows / max(t_train, 1e-9), 1),
             "mean_best_val_acc_30ep": round(best_val, 4),
+            "acc_expected_range": list(ACC_EXPECTED_RANGE),
             "online_decode_p50_ms": round(lat_ms, 2),
+            "dispatch_floor_p50_ms": round(floor_ms, 2),
             "achieved_tflops": round(achieved_tflops, 2),
             "measured_peak_matmul_tflops": round(peak_tflops, 1),
             "mfu": round(mfu, 4),

@@ -361,3 +361,71 @@ class TestMultiStepDynamics:
         np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-2, atol=2e-4)
         # and the loss actually decreased (both sides trained)
         assert jax_losses[-1] < jax_losses[0]
+
+
+class TestCVBlockTrajectoryWithBN:
+    @pytest.mark.slow
+    def test_hundred_steps_bn_stats_track_torch(self, ref):
+        """100 full-batch AdamW steps on the BN-bearing CVBlock head:
+        losses, BN running statistics, and eval-mode logits (which READ
+        the running stats) track torch step-for-step. Catches
+        running-stat momentum/indexing drift that single-step parity
+        (test_bn_train_forward_and_stats) cannot."""
+        import optax
+
+        cfg, tm, params, state, _ = _make_pair(ref, *HEAD_CASES[1])
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(8, cfg.n_channels, cfg.seq_len)).astype(np.float32)
+        y = np.arange(8, dtype=np.int64) % 5
+        lr, wd = 5e-4, 0.01
+        tm.train()
+        for m in tm.modules():  # isolate BN: zero torch's hardcoded Dropout(0.5)
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0
+        opt_t = torch.optim.AdamW(tm.parameters(), lr=lr, weight_decay=wd)
+        opt_j = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+        opt_state = opt_j.init(params)
+
+        def loss_fn(p, s):
+            logits, new_s = fast_apply(p, s, jnp.asarray(x), cfg, train=True, rng=None)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.mean(jnp.take_along_axis(logp, jnp.asarray(y)[:, None], axis=-1))
+            return nll, new_s
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        t_losses, j_losses = [], []
+        for _ in range(100):
+            loss_t = torch.nn.functional.cross_entropy(
+                tm(torch.from_numpy(x)), torch.from_numpy(y)
+            )
+            opt_t.zero_grad()
+            loss_t.backward()
+            opt_t.step()
+            t_losses.append(float(loss_t.detach()))
+
+            (loss_j, state), grads = grad_fn(params, state)
+            updates, opt_state = opt_j.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            j_losses.append(float(loss_j))
+
+        np.testing.assert_allclose(j_losses, t_losses, rtol=2e-2)
+        # BN running stats after 100 train-mode passes (zone 0, all BNs)
+        z0 = tm.head.encoders[list(ZONES)[0]]
+        for bn_name in ("bn1", "bn2", "bn3"):
+            ref_mean = getattr(z0, bn_name).running_mean.detach().numpy()
+            ref_var = getattr(z0, bn_name).running_var.detach().numpy()
+            got = state["head"][bn_name]
+            # running means sit near 0 (|mean| ~ 1e-2): absolute
+            # tolerance carries the comparison; variances are O(1) so
+            # the relative term does (100 steps of EMA accumulate
+            # ~1e-3 of benign float drift — the single-step test pins
+            # the exact semantics)
+            np.testing.assert_allclose(np.asarray(got.mean)[0], ref_mean, rtol=5e-2, atol=5e-3)
+            np.testing.assert_allclose(np.asarray(got.var)[0], ref_var, rtol=2e-2, atol=5e-3)
+        # eval-mode logits read the running stats: final agreement
+        tm.eval()
+        with torch.no_grad():
+            ref_logits = tm(torch.from_numpy(x)).numpy()
+        logits, _ = fast_apply(params, state, jnp.asarray(x), cfg, train=False)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=5e-2, atol=5e-3)
+        assert j_losses[-1] < j_losses[0]
