@@ -56,9 +56,12 @@ ACC_EPOCHS = 30  # convergence-evidence epochs (learning proof)
 BATCH_SIZE = 64
 LABEL_NOISE = 0.25  # see corpus-generation comment in main()
 # Expected band for mean best val_acc after ACC_EPOCHS on the noisy
-# corpus (ceiling ~0.80 = 0.75 clean-label + ~0.05 lucky flips;
-# calibrated on TPU v5e — see BASELINE.md). Outside this band =>
-# training-math regression (or corpus change).
+# corpus. Flipped labels are drawn from the K-1 OTHER classes
+# (synthetic.py), so a true-class predictor's per-epoch ceiling is
+# exactly 1-p = 0.75; best-OF-epochs selection across 30 epochs adds a
+# few points of favorable-epoch bias on the small val split, hence the
+# observed ~0.75-0.80 (calibrated on TPU v5e — see BASELINE.md).
+# Outside this band => training-math regression (or corpus change).
 ACC_EXPECTED_RANGE = (0.60, 0.88)
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import os
 import platform
+import re
 import shutil
 
 
@@ -52,14 +53,28 @@ def enable_persistent_cache(
     return path
 
 
+_FINGERPRINT_RE = re.compile(r"^[0-9a-f]{12}$")
+
+
 def salted_cache_dir(base: str, prefix: str) -> str:
     """Return ``<base>/<prefix>_<fingerprint>``, pruning sibling cache
     dirs salted for OTHER hosts (and the legacy unsalted dir) so stale
-    per-host caches don't accumulate in a long-lived checkout."""
+    per-host caches don't accumulate in a long-lived checkout.
+
+    Only entries whose suffix after ``prefix_`` is a bare 12-hex host
+    fingerprint are pruned: ``.jax_cache_dryrun_<fp>`` must survive a
+    prune with prefix ``.jax_cache`` (they are distinct caches — one
+    per backend — and deleting the sibling reintroduces the cold
+    Mosaic compile the cache exists to kill)."""
     name = f"{prefix}_{host_fingerprint()}"
     try:
         for entry in os.listdir(base):
-            if (entry == prefix or entry.startswith(prefix + "_")) and entry != name:
+            if entry == name:
+                continue
+            is_stale_salted = entry.startswith(prefix + "_") and _FINGERPRINT_RE.match(
+                entry[len(prefix) + 1 :]
+            )
+            if entry == prefix or is_stale_salted:
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     except OSError:
         pass

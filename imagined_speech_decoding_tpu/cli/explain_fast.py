@@ -118,8 +118,10 @@ def main(argv=None):
 
     # --- group-level: zone x time + band x time heatmaps ---
     mean_attr = attr_np.mean(0)  # (C, T)
+    # mean over zone channels (reference compute_zone_time_matrix,
+    # global_shap_analysis.py:194)
     zt = np.stack([
-        mean_attr[zl.indices[zi_][zl.mask[zi_]]].sum(0) for zi_ in range(zl.n_zones)
+        mean_attr[zl.indices[zi_][zl.mask[zi_]]].mean(0) for zi_ in range(zl.n_zones)
     ])
     plot_zone_time_heatmap(f"{out}/zone_time.png", zt, zl.names, sfreq=SFREQ)
 

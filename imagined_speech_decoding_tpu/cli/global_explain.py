@@ -78,13 +78,18 @@ def main(argv=None):
     out = args.output_dir
     os.makedirs(out, exist_ok=True)
 
-    if args.synthetic or not args.cache:
+    if args.synthetic:
         from imagined_speech_decoding_tpu.data import synthetic_corpus
 
         X, Y = synthetic_corpus(
             args.seed, n_subjects=args.n_synth_subjects,
             n_trials=args.n_bg + args.n_test, n_samples=cfg.seq_len,
         )
+    elif not args.cache:
+        # the reference errors out when its data file is missing
+        # (global_shap_analysis.py:269-271); silently explaining real
+        # checkpoints on synthetic data would produce real-looking plots
+        build_parser().error("--cache is required (or pass --synthetic)")
     else:
         from imagined_speech_decoding_tpu.data import load_standardized_h5
 
@@ -139,8 +144,12 @@ def main(argv=None):
                 f"{out}/{tag}_Topomap.png", avg.sum(-1), Electrodes,
                 title=f"Sub {sid}: {cname} (True Positives)",
             )
+            # mean over the zone's channels, matching the reference's
+            # compute_zone_time_matrix (global_shap_analysis.py:231-258):
+            # a sum would skew zones by channel count (4..15) on the
+            # shared symmetric color scale
             zt = np.stack([
-                avg[zl.indices[z][zl.mask[z]]].sum(0) for z in range(zl.n_zones)
+                avg[zl.indices[z][zl.mask[z]]].mean(0) for z in range(zl.n_zones)
             ])
             plot_zone_time_heatmap(
                 f"{out}/{tag}_ZoneMatrix.png", zt, zl.names, sfreq=SFREQ,

@@ -108,11 +108,13 @@ def attribution_for_predictions(
 
 
 def zone_importance(attr: jnp.ndarray, zone_indices: np.ndarray, zone_mask: np.ndarray):
-    """Net per-zone influence: sum of attributions over each zone's
-    channels and all timepoints (reference ``plot_zone_importance``,
-    ``scripts/explain_fast.py:351-402``). ``attr (B, C, T)`` →
-    ``(B, Z)``."""
-    per_channel = attr.sum(axis=-1)  # (B, C)
+    """Net per-zone influence: MEAN of attributions over each zone's
+    channels and all timepoints (reference ``plot_zone_importance``
+    computes ``np.mean(s_vals[zone_indices])``,
+    ``scripts/explain_fast.py:362-369`` — a sum would skew zones by
+    their channel count, 4..15). ``attr (B, C, T)`` → ``(B, Z)``."""
+    per_channel = attr.mean(axis=-1)  # (B, C)
     z, cmax = zone_indices.shape
     gathered = per_channel[:, zone_indices.reshape(-1)].reshape(-1, z, cmax)
-    return (gathered * jnp.asarray(zone_mask, attr.dtype)).sum(axis=-1)
+    mask = jnp.asarray(zone_mask, attr.dtype)
+    return (gathered * mask).sum(axis=-1) / mask.sum(axis=-1)

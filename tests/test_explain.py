@@ -93,8 +93,18 @@ class TestZoneImportance:
         attr = jnp.ones((2, 64, 10))
         zi = zone_importance(attr, zl.indices, zl.mask)
         assert zi.shape == (2, 8)
-        # all-ones attribution: zone importance = 10 * zone channel count
-        np.testing.assert_allclose(np.asarray(zi)[0], zl.counts * 10.0, rtol=1e-6)
+        # all-ones attribution: the per-zone MEAN is 1 regardless of
+        # zone channel count (reference plot_zone_importance semantics)
+        np.testing.assert_allclose(np.asarray(zi)[0], np.ones(8), rtol=1e-6)
+
+    def test_mean_matches_reference_formula(self):
+        zl = zone_layout()
+        rng = np.random.default_rng(0)
+        attr = rng.normal(size=(1, 64, 10)).astype(np.float32)
+        zi = np.asarray(zone_importance(jnp.asarray(attr), zl.indices, zl.mask))[0]
+        for z in range(zl.n_zones):
+            idx = zl.indices[z][zl.mask[z]]
+            np.testing.assert_allclose(zi[z], attr[0, idx].mean(), rtol=1e-5)
 
 
 class TestTopomap:

@@ -41,10 +41,8 @@ Run ``python tests/test_trajectory_parity.py`` directly for the
 docs/PARITY.md report (curves table + final accuracies).
 """
 
-import importlib.util
 import os
 import sys
-import types
 
 # Script-mode execution (`python tests/test_trajectory_parity.py`): put
 # the repo root + tests dir on the path before the package imports.
@@ -58,12 +56,6 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-REF_FAST = "/root/reference/src/fast/models/fast.py"
-
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_FAST), reason="reference repo not mounted"
-)
-
 import jax
 import jax.numpy as jnp
 
@@ -72,27 +64,26 @@ from imagined_speech_decoding_tpu.data.arrays import shuffled_epoch_indices
 from imagined_speech_decoding_tpu.data.synthetic import synthetic_trials
 from imagined_speech_decoding_tpu.train.schedule import cosine_scheduler
 
+# Shared with the logit-parity suite: same reference oracle, same
+# montage/zone geometry, same config bridge — one definition so the two
+# harnesses can never drift apart.
+from test_torch_parity import (
+    ELECTRODES,
+    REF_FAST,
+    ZONES,
+    _load_ref_fast,
+    torch_config,
+)
 
-def _load_ref_fast():
-    spec = importlib.util.spec_from_file_location("ref_fast_traj", REF_FAST)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-ELECTRODES = ("C1", "C2", "C3", "C4", "P1", "P2", "O1", "O2", "F1", "F2")
-ZONES = {
-    "Central": ("C1", "C2", "C3", "C4"),
-    "Parietal": ("P1", "P2"),
-    "Occipital": ("O1", "O2"),
-    "Frontal": ("F1", "F2"),
-}
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_FAST), reason="reference repo not mounted"
+)
 
 # Harness geometry: one synthetic "subject", reference CV fold 0.
 N_TRIALS = 120          # subject train+val pool (reference: 350)
 N_TEST = 400            # official-test stand-in (1 pt resolution = 4 trials)
-EPOCHS = 60             # 360 optimizer steps
-BATCH = 16              # 96 train trials -> 6 steps/epoch, 180 steps total
+EPOCHS = 60             # 60 epochs x 6 steps/epoch = 360 optimizer steps
+BATCH = 16              # 96 train trials -> 6 steps/epoch
 LR, WD = 5e-4, 0.01     # trainer.py:49 + torch AdamW defaults
 WARMUP_EPOCHS = 10      # trainer.py:38
 SNR = 0.5               # non-trivially separable: lands mid-range, not 1.0
@@ -112,23 +103,6 @@ def make_cfg() -> FASTConfig:
         num_layers=2,
         num_heads=4,
         dropout=0.0,
-    )
-
-
-def torch_config(cfg: FASTConfig):
-    return types.SimpleNamespace(
-        electrodes=list(cfg.electrodes),
-        zone_dict={k: list(v) for k, v in cfg.zone_dict.items()},
-        head=cfg.head,
-        dim_cnn=cfg.dim_cnn,
-        dim_token=cfg.dim_token,
-        seq_len=cfg.seq_len,
-        window_len=cfg.window_len,
-        slide_step=cfg.slide_step,
-        n_classes=cfg.n_classes,
-        num_heads=cfg.num_heads,
-        num_layers=cfg.num_layers,
-        dropout=cfg.dropout,
     )
 
 
