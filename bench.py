@@ -307,6 +307,10 @@ def main():
             "train_windows_per_s": round(train_windows / max(t_train, 1e-9), 1),
             "mean_best_val_acc_30ep": round(best_val, 4),
             "acc_expected_range": list(ACC_EXPECTED_RANGE),
+            # machine-readable regression canary: False here means the
+            # training math regressed (or the corpus changed) even if
+            # throughput looks fine — check this field, not just stderr
+            "acc_in_band": in_band,
             "online_decode_p50_ms": round(lat_ms, 2),
             "dispatch_floor_p50_ms": round(floor_ms, 2),
             "achieved_tflops": round(achieved_tflops, 2),

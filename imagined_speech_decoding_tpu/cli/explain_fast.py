@@ -34,6 +34,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
 
     import jax
     import jax.numpy as jnp
@@ -49,6 +52,7 @@ def main(argv=None):
         plot_zone_time_heatmap,
         save_topomap,
         zone_importance,
+        zone_time_matrix,
     )
     from imagined_speech_decoding_tpu.models.api import make_fast_model
     from imagined_speech_decoding_tpu.ops.spectral import band_stft_heatmap
@@ -95,8 +99,10 @@ def main(argv=None):
             f"{out}/{tag}_heatmap.png", attr_np[i], Electrodes, sfreq=SFREQ,
             title=f"Attribution — pred {CLASSES[preds_np[i]]}, true {CLASSES[yt[i]]}",
         )
+        # mean over time (reference explain_fast.py:166 aggregates
+        # per-sample SHAP with np.mean over the time axis)
         save_topomap(
-            f"{out}/{tag}_topomap.png", attr_np[i].sum(-1), Electrodes,
+            f"{out}/{tag}_topomap.png", attr_np[i].mean(-1), Electrodes,
             title=f"pred {CLASSES[preds_np[i]]}",
         )
         zi = np.asarray(zone_importance(attr[i: i + 1], zl.indices, zl.mask))[0]
@@ -109,7 +115,9 @@ def main(argv=None):
         for k, cname in enumerate(CLASSES):
             sel = (yt == k) & mask
             if sel.any():
-                per_class[cname] = attr_np[sel].sum(-1).mean(0)
+                # mean over time then samples (reference explain_fast.py
+                # :242/:312, np.mean(np.mean(relevant_shap, axis=2), axis=0))
+                per_class[cname] = attr_np[sel].mean(-1).mean(0)
         if per_class:
             plot_class_topomaps(
                 f"{out}/class_topomaps_{name}.png", per_class, Electrodes,
@@ -118,11 +126,7 @@ def main(argv=None):
 
     # --- group-level: zone x time + band x time heatmaps ---
     mean_attr = attr_np.mean(0)  # (C, T)
-    # mean over zone channels (reference compute_zone_time_matrix,
-    # global_shap_analysis.py:194)
-    zt = np.stack([
-        mean_attr[zl.indices[zi_][zl.mask[zi_]]].mean(0) for zi_ in range(zl.n_zones)
-    ])
+    zt = zone_time_matrix(mean_attr, zl.indices, zl.mask)
     plot_zone_time_heatmap(f"{out}/zone_time.png", zt, zl.names, sfreq=SFREQ)
 
     band_names, times, bands = band_stft_heatmap(

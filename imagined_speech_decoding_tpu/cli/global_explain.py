@@ -54,6 +54,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
 
     import jax
     import jax.numpy as jnp
@@ -66,6 +69,7 @@ def main(argv=None):
         plot_class_topomaps,
         plot_zone_time_heatmap,
         save_topomap,
+        zone_time_matrix,
     )
     from imagined_speech_decoding_tpu.models.api import make_fast_model
     from imagined_speech_decoding_tpu.ops.spectral import band_stft_heatmap
@@ -102,6 +106,7 @@ def main(argv=None):
     pooled_topo = np.zeros((cfg.n_classes, cfg.n_channels))
     pooled_zt = None
     pooled_band = None
+    band_meta = None  # (band_names, frame_times) from the first STFT
     pooled_n = np.zeros(cfg.n_classes)
     n_done = 0
 
@@ -133,6 +138,7 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed), n_samples=args.n_grad_samples,
         ))
 
+        n_plotted = 0
         for k, cname in enumerate(CLASSES):
             mask = yt == k
             if not mask.any():
@@ -140,17 +146,13 @@ def main(argv=None):
                 continue
             avg = attr[mask].mean(0)  # (C, T)
             tag = f"Sub{sid}_Class{k}_{cname}"
+            # mean over time, matching the reference plot_class_topomap
+            # ("Mean SHAP", global_shap_analysis.py:205)
             save_topomap(
-                f"{out}/{tag}_Topomap.png", avg.sum(-1), Electrodes,
+                f"{out}/{tag}_Topomap.png", avg.mean(-1), Electrodes,
                 title=f"Sub {sid}: {cname} (True Positives)",
             )
-            # mean over the zone's channels, matching the reference's
-            # compute_zone_time_matrix (global_shap_analysis.py:231-258):
-            # a sum would skew zones by channel count (4..15) on the
-            # shared symmetric color scale
-            zt = np.stack([
-                avg[zl.indices[z][zl.mask[z]]].mean(0) for z in range(zl.n_zones)
-            ])
+            zt = zone_time_matrix(avg, zl.indices, zl.mask)
             plot_zone_time_heatmap(
                 f"{out}/{tag}_ZoneMatrix.png", zt, zl.names, sfreq=SFREQ,
                 title=f"Sub {sid}: {cname} (Time x Region)",
@@ -163,15 +165,17 @@ def main(argv=None):
                 title=f"Sub {sid}: {cname}",
             )
             n_k = int(mask.sum())
-            pooled_topo[k] += avg.sum(-1) * n_k
+            n_plotted += n_k
+            pooled_topo[k] += avg.mean(-1) * n_k
             pooled_n[k] += n_k
             if pooled_zt is None:
                 pooled_zt = np.zeros_like(zt)
                 pooled_band = np.zeros_like(np.asarray(bands))
+                band_meta = (band_names, times)
             pooled_zt += zt * n_k
             pooled_band += np.asarray(bands) * n_k
         n_done += 1
-        print(f"Subject {sid}: class plots written ({int((yt >= 0).sum())} samples)")
+        print(f"Subject {sid}: class plots written ({n_plotted} samples)")
 
     if n_done and pooled_n.sum() > 0:
         per_class = {
@@ -187,9 +191,8 @@ def main(argv=None):
             f"{out}/group_zone_time.png", pooled_zt / total, zl.names, sfreq=SFREQ,
             title=f"Group zone x time ({n_done} subjects)",
         )
-        band_names, times, _ = band_stft_heatmap(
-            jnp.zeros(X.shape[-1]), SFREQ, nperseg=64, noverlap=32
-        )
+        band_names, times = band_meta  # shape-determined constants,
+        # captured from the first per-class STFT (same nperseg/noverlap)
         plot_band_heatmap(
             f"{out}/group_band_heatmap.png", pooled_band / total, band_names, times,
             title=f"Group band energy ({n_done} subjects)",

@@ -62,6 +62,9 @@ def _filter_h5(path: str, notch, bandpass):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
     from imagined_speech_decoding_tpu.data import (
         build_official_cache,
         build_subject_cache,

@@ -37,6 +37,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
 
     from sklearn.model_selection import StratifiedKFold
 

@@ -98,6 +98,9 @@ def load_data(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
 
     from imagined_speech_decoding_tpu.config import TrainConfig
     from imagined_speech_decoding_tpu.models.tsception import make_tsception_model

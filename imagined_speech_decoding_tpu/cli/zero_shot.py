@@ -104,6 +104,9 @@ def save_artifacts(out_dir, matrix, subjects):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
 
     import jax
 

@@ -5,6 +5,7 @@ from .attribution import (  # noqa: F401
     expected_gradients,
     integrated_gradients,
     zone_importance,
+    zone_time_matrix,
 )
 from .topomap import electrode_position, montage_positions, plot_topomap, save_topomap  # noqa: F401
 from .plots import (  # noqa: F401

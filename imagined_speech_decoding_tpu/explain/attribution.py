@@ -118,3 +118,18 @@ def zone_importance(attr: jnp.ndarray, zone_indices: np.ndarray, zone_mask: np.n
     gathered = per_channel[:, zone_indices.reshape(-1)].reshape(-1, z, cmax)
     mask = jnp.asarray(zone_mask, attr.dtype)
     return (gathered * mask).sum(axis=-1) / mask.sum(axis=-1)
+
+
+def zone_time_matrix(
+    attr_ct: np.ndarray, zone_indices: np.ndarray, zone_mask: np.ndarray
+) -> np.ndarray:
+    """Zone × time matrix: MEAN of a ``(C, T)`` attribution map over
+    each zone's channels (reference ``compute_zone_time_matrix``,
+    ``scripts/global_shap_analysis.py:231-258`` — a sum would skew
+    zones by their channel count, 4..15, on the shared symmetric color
+    scale). Returns ``(Z, T)``."""
+    attr_ct = np.asarray(attr_ct)
+    return np.stack([
+        attr_ct[zone_indices[z][zone_mask[z]]].mean(0)
+        for z in range(len(zone_indices))
+    ])

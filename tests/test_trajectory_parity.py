@@ -135,8 +135,8 @@ def make_data(seed: int = 0):
     )
     x_pool, y_pool = x_all[:N_TRIALS], y_all[:N_TRIALS]
     x_test, y_test = x_all[N_TRIALS:], y_all[N_TRIALS:]
-    # Reference split: KFold(5, shuffle=True, random_state=seed), fold 0
-    # (scripts/train_fast.py:94,100).
+    # Reference split: KFold(5, shuffle=True, random_state=42), fold 0 —
+    # 42 is pinned regardless of `seed` (scripts/train_fast.py:94,100).
     kf = KFold(n_splits=5, shuffle=True, random_state=42)
     train_idx, val_idx = next(iter(kf.split(x_pool)))
     return x_pool, y_pool.astype(np.int64), x_test, y_test.astype(np.int64), train_idx, val_idx
