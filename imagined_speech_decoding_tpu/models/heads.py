@@ -224,6 +224,13 @@ def _conv4_tails_composed(params, h):
     """
     w3 = params["cnn3"]["w"][:, :, :, 0, :]  # (Z, O, I, K)
     w4 = params["cnn4"]["w"][:, :, :, 0, :]
+    return _tails_composed_core(h, w3, w4)
+
+
+def _tails_composed_core(h, w3, w4):
+    """Composed-tails forward math: ``h (B, Z, I, T1)`` ×
+    ``w3/w4 (Z, O|J, I|J, K)`` → ``(B, Z, O)``. See
+    ``_conv4_tails_composed`` for the derivation."""
     k3, k4 = w3.shape[-1], w4.shape[-1]
     e = k3 // 2 + k4 // 2
     t1 = h.shape[-1]
@@ -259,6 +266,103 @@ def _conv4_tails_composed(params, h):
     return (base + corr / t1).astype(h.dtype)
 
 
+@jax.custom_vjp
+def _tails_composed_cvjp(h, w3, w4):
+    """Composed tails with a hand-scheduled backward (`conv2c`).
+
+    The autodiff backward of the composed formulation needs ~5 GB more
+    HBM across the 75-model stack than the two-stage path (measured:
+    17.4 vs 12.5 GB AOT temp for the full fit program), which is what
+    kept `conv2` inference-only. This custom VJP recomputes ``h4c`` with
+    ONE grouped conv and expresses every adjoint as a native conv —
+    input-grad: the 'same' grouped conv with taps flipped and in/out
+    channels swapped; filter-grad: XLA's conv filter-gradient emitter —
+    so the backward never materializes more than one full-width
+    cotangent alongside ``h``/``h4c``. Forward math is byte-identical to
+    ``_tails_composed_core`` (equivalence + gradients tested vs the
+    two-stage path in ``tests/test_model.py``).
+    """
+    return _tails_composed_core(h, w3, w4)
+
+
+def _tails_composed_cvjp_fwd(h, w3, w4):
+    return _tails_composed_core(h, w3, w4), (h, w3, w4)
+
+
+def _tails_composed_cvjp_bwd(res, cot):
+    import numpy as np
+
+    h, w3, w4 = res
+    cot = cot.astype(jnp.float32)  # (B, Z, O)
+    k3, k4 = w3.shape[-1], w4.shape[-1]
+    e = k3 // 2 + k4 // 2
+    t1 = h.shape[-1]
+    w34 = _compose_taps(w3, w4).astype(h.dtype)
+
+    h4c = _grouped_conv_same_time(h, w34)  # (B, Z, O, T1)
+
+    # Adjoint of the GELU→interior-mean. Mathematically the forward is
+    # out = (Σ_interior gelu(h4c) + Σ_edges gelu(true_edges)) / t1: the
+    # composed conv's base mean and its approx-edge subtraction cancel
+    # exactly at the 2e edge positions, so the cotangent through h4c is
+    # masked to the interior and the edges flow through the strip path.
+    # The gelu' chain is written explicitly in the COMPUTE dtype: an
+    # f32 cotangent here upcasts the whole elementwise chain and XLA
+    # materializes a full-width f32 erfc temp (measured +4.5 GB across
+    # the stacked-model axis — the allocation that kept conv2 OOM).
+    interior = np.ones((t1,), np.float32)
+    interior[:e] = 0.0
+    interior[t1 - e :] = 0.0
+
+    # gelu'(x) = Φ(x) + x·φ(x), elementwise in h.dtype.
+    xf = h4c
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf * jnp.asarray(0.7071067811865476, xf.dtype)))
+    pdf = jnp.exp(-0.5 * xf * xf) * jnp.asarray(0.3989422804014327, xf.dtype)
+    scale = (cot / t1).astype(h.dtype)  # (B, Z, O)
+    cot_h4c = (
+        scale[..., None] * jnp.asarray(interior, h.dtype) * (cdf + xf * pdf)
+    )  # (B, Z, O, T1), h.dtype
+
+    # dh: 'same' grouped conv of the cotangent with taps flipped and
+    # in/out channels swapped (the exact adjoint of the odd-K 'same'
+    # correlation).
+    w34_t = jnp.flip(jnp.swapaxes(w34, 1, 2), axis=-1)  # (Z, I, O, K)
+    dh = _grouped_conv_same_time(cot_h4c, w34_t)  # (B, Z, I, T1)
+
+    # dw34 via XLA's native conv filter-gradient emitter, then back
+    # through the (tiny) tap composition onto (w3, w4).
+    _, vjp_w = jax.vjp(lambda w: _grouped_conv_same_time(h, w), w34)
+    (dw34,) = vjp_w(cot_h4c)
+    _, vjp_c = jax.vjp(lambda a, b: _compose_taps(a, b).astype(h.dtype), w3, w4)
+    dw3, dw4 = vjp_c(dw34)
+
+    # Edge strips: exact two-stage recompute on 2e-wide slices of h
+    # (tiny), differentiated directly.
+    pad = [(0, 0), (0, 0), (0, 0)]
+    s_l = jax.lax.slice_in_dim(h, 0, 2 * e, axis=-1)
+    s_r = jax.lax.slice_in_dim(h, t1 - 2 * e, t1, axis=-1)
+
+    def edge_mean(sl, sr, a3, a4):
+        a3d, a4d = a3.astype(h.dtype), a4.astype(h.dtype)
+        h3l = _conv_valid_time(jnp.pad(sl, pad + [(k3 // 2, 0)]), a3d)
+        h4l = _conv_valid_time(jnp.pad(h3l, pad + [(k4 // 2, 0)]), a4d)
+        h3r = _conv_valid_time(jnp.pad(sr, pad + [(0, k3 // 2)]), a3d)
+        h4r = _conv_valid_time(jnp.pad(h3r, pad + [(0, k4 // 2)]), a4d)
+        s = jnp.sum(
+            jax.nn.gelu(h4l, approximate=False).astype(jnp.float32), axis=-1
+        ) + jnp.sum(jax.nn.gelu(h4r, approximate=False).astype(jnp.float32), axis=-1)
+        return s / t1
+
+    _, vjp_e = jax.vjp(edge_mean, s_l, s_r, w3, w4)
+    dsl, dsr, dw3e, dw4e = vjp_e(cot)
+    dh = dh.at[..., : 2 * e].add(dsl).at[..., t1 - 2 * e :].add(dsr)
+
+    return dh.astype(h.dtype), dw3 + dw3e, dw4 + dw4e
+
+
+_tails_composed_cvjp.defvjp(_tails_composed_cvjp_fwd, _tails_composed_cvjp_bwd)
+
+
 def _conv4_tails(params, h, impl=None):
     """cnn3/cnn4 ('same'-padded, zone-batched) + GELU + time-mean:
     ``h (B, Z, O, T1) -> (B, Z, O)``. Several formulations (same math,
@@ -266,9 +370,15 @@ def _conv4_tails(params, h, impl=None):
     if impl is None:
         impl = _conv4_impl("tails")
     b, z, o, t1 = h.shape
-    if impl == "conv2" and t1 >= 2 * (
+    if impl in ("conv2", "conv2c") and t1 >= 2 * (
         params["cnn3"]["w"].shape[-1] // 2 + params["cnn4"]["w"].shape[-1] // 2
     ):
+        if impl == "conv2c":
+            return _tails_composed_cvjp(
+                h,
+                params["cnn3"]["w"][:, :, :, 0, :],
+                params["cnn4"]["w"][:, :, :, 0, :],
+            )
         return _conv4_tails_composed(params, h)
     for name in ("cnn3", "cnn4"):
         w = params[name]["w"][:, :, :, 0, :].astype(h.dtype)  # (Z, O, I, K)
