@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--models", type=int, default=75)
+    ap.add_argument("--remat-save", default=None, help="ISD_REMAT_SAVE value")
     ap.add_argument("--analyze-only", action="store_true", help="AOT memory analysis, no run")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace to this dir")
     args = ap.parse_args()
@@ -33,6 +34,8 @@ def main():
         os.environ["ISD_CONV4_TAILS"] = args.tails
     if args.first is not None:
         os.environ["ISD_CONV4_FIRST"] = args.first
+    if args.remat_save is not None:
+        os.environ["ISD_REMAT_SAVE"] = args.remat_save
 
     import jax
     import jax.numpy as jnp
@@ -79,6 +82,7 @@ def main():
     out = {
         "tails": os.environ.get("ISD_CONV4_TAILS", "<default>"),
         "first": os.environ.get("ISD_CONV4_FIRST", "<default>"),
+        "remat_save": os.environ.get("ISD_REMAT_SAVE", ""),
         "chunk": args.chunk,
         "models": m_count,
         "epochs": args.epochs,

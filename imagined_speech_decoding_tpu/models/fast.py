@@ -186,8 +186,23 @@ def fast_forward_head(
         if remat:
             # Checkpoint at the raw batch: backward stores only x (+feat)
             # and recomputes the window/conv chain — the lever that fits
-            # ~75 stacked models per chip.
-            head_of = jax.checkpoint(head_of)
+            # ~75 stacked models per chip. ``ISD_REMAT_SAVE`` (comma list
+            # of checkpoint_name tags, e.g. "tails_h4") trades HBM for
+            # recompute: tagged intermediates are SAVED across the
+            # chunk map instead of recomputed in backward (see
+            # heads._conv4_tails tags + docs/PERFORMANCE.md).
+            import os
+
+            save = os.environ.get("ISD_REMAT_SAVE")
+            if save:
+                head_of = jax.checkpoint(
+                    head_of,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        *save.split(",")
+                    ),
+                )
+            else:
+                head_of = jax.checkpoint(head_of)
 
         if head_micro_batch:
             # trials per chunk: largest divisor of b within the window budget

@@ -323,16 +323,13 @@ def _tails_composed_cvjp_bwd(res, cot):
         scale[..., None] * jnp.asarray(interior, h.dtype) * (cdf + xf * pdf)
     )  # (B, Z, O, T1), h.dtype
 
-    # dh: 'same' grouped conv of the cotangent with taps flipped and
-    # in/out channels swapped (the exact adjoint of the odd-K 'same'
-    # correlation).
-    w34_t = jnp.flip(jnp.swapaxes(w34, 1, 2), axis=-1)  # (Z, I, O, K)
-    dh = _grouped_conv_same_time(cot_h4c, w34_t)  # (B, Z, I, T1)
-
-    # dw34 via XLA's native conv filter-gradient emitter, then back
-    # through the (tiny) tap composition onto (w3, w4).
-    _, vjp_w = jax.vjp(lambda w: _grouped_conv_same_time(h, w), w34)
-    (dw34,) = vjp_w(cot_h4c)
+    # dh + dw34 through XLA's canonical conv input-/filter-gradient
+    # emitters (one vjp over the grouped conv — the only difference from
+    # full autodiff is the controlled gelu'/mask chain above and the
+    # h4c recompute), then back through the (tiny) tap composition onto
+    # (w3, w4).
+    _, vjp_conv = jax.vjp(_grouped_conv_same_time, h, w34)
+    dh, dw34 = vjp_conv(cot_h4c)
     _, vjp_c = jax.vjp(lambda a, b: _compose_taps(a, b).astype(h.dtype), w3, w4)
     dw3, dw4 = vjp_c(dw34)
 
@@ -415,6 +412,11 @@ def _conv4_tails(params, h, impl=None):
             # One native grouped conv (group = zone): XLA's conv emitter
             # tiles in VMEM without materializing shifted copies.
             h = _grouped_conv_same_time(h, w)
+        # Offerable remat-policy save points (no-ops outside a
+        # name-aware jax.checkpoint policy — see fast.ISD_REMAT_SAVE).
+        from jax.ad_checkpoint import checkpoint_name
+
+        h = checkpoint_name(h, "tails_h3" if name == "cnn3" else "tails_h4")
     h = jax.nn.gelu(h, approximate=False)
     return jnp.mean(h, axis=-1)  # (B, Z, O)
 
@@ -594,6 +596,9 @@ def conv4layers_fused_all_zones_fullseq(
         axis=1,
     )  # (B, N, Z, O, T1)
     hw = hw.reshape(b * n, *hw.shape[2:])
+    from jax.ad_checkpoint import checkpoint_name
+
+    hw = checkpoint_name(hw, "tails_h2")
     return _conv4_tails(params, hw, impl).reshape(b, n, *hw.shape[1:3])
 
 
