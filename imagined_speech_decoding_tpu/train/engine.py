@@ -205,11 +205,39 @@ def make_fit(
             gidx = jnp.take(train_idx, bidx, axis=0)  # (spe, B) global indices
             step_keys = jax.random.split(kstep, spe)
 
-            (params, mstate, opt_state), (losses, cms) = jax.lax.scan(
-                partial(train_step, X, Y),
-                (params0_c, mstate0_c, opt_state0_c),
-                (gidx, bw, step_keys),
-            )
+            # Pad-free ragged tail: the final short batch (n_train %
+            # batch_size trials) runs as its own exact-shape step
+            # instead of being padded to batch_size with zero-weight
+            # rows (280 trials at batch 64: 4x64 scanned + 1x56 = 280
+            # trial-forwards per epoch instead of 320). The math is
+            # identical — losses/metrics are weight-summed and BN
+            # statistics row-masked, and batch content, order, PRNG
+            # streams and the optimizer step count are all unchanged;
+            # only the dead slots' compute goes away.
+            rem = n_train % batch_size
+            n_full = spe - 1 if rem else spe
+            carry_t = (params0_c, mstate0_c, opt_state0_c)
+            if rem == 0:
+                carry_t, (losses, cms) = jax.lax.scan(
+                    partial(train_step, X, Y), carry_t, (gidx, bw, step_keys)
+                )
+            else:
+                if n_full:
+                    carry_t, (losses, cms) = jax.lax.scan(
+                        partial(train_step, X, Y),
+                        carry_t,
+                        (gidx[:n_full], bw[:n_full], step_keys[:n_full]),
+                    )
+                carry_t, (loss_t, cm_t) = train_step(
+                    X, Y, carry_t,
+                    (gidx[n_full, :rem], bw[n_full, :rem], step_keys[n_full]),
+                )
+                if n_full:
+                    losses = jnp.concatenate([losses, loss_t[None]])
+                    cms = jnp.concatenate([cms, cm_t[None]])
+                else:
+                    losses, cms = loss_t[None], cm_t[None]
+            params, mstate, opt_state = carry_t
             # Freeze semantics (in-scan, fixed-shape): epoch passes still
             # run but their updates are discarded once the model has
             # early-stopped (Lightning EarlyStopping) OR the full-run
