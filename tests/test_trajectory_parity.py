@@ -146,14 +146,15 @@ def make_data(seed: int = 0):
 # torch reference trajectory (faithful Lightning-loop re-drive)
 # ---------------------------------------------------------------------------
 
-def run_torch_reference(cfg, x_pool, y_pool, x_test, y_test, train_idx, val_idx, batch_plan):
+def run_torch_reference(cfg, x_pool, y_pool, x_test, y_test, train_idx, val_idx,
+                        batch_plan, epochs=EPOCHS):
     ref = _load_ref_fast()
     torch.manual_seed(0)
     model = ref.FAST(torch_config(cfg))
     loss_fn = torch.nn.CrossEntropyLoss()
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
     spe = len(batch_plan[0][0])
-    table = lightning_lr_table(EPOCHS, spe)
+    table = lightning_lr_table(epochs, spe)
 
     xt = torch.from_numpy(x_pool)
     yt = torch.from_numpy(y_pool)
@@ -163,7 +164,7 @@ def run_torch_reference(cfg, x_pool, y_pool, x_test, y_test, train_idx, val_idx,
     hist = {"loss": [], "val_acc": [], "val_loss": []}
     best_acc, best_sd = -np.inf, None
     step = 0
-    for epoch in range(EPOCHS):
+    for epoch in range(epochs):
         model.train()
         bidx, bw = batch_plan[epoch]
         ep_loss, ep_n = 0.0, 0
@@ -207,7 +208,7 @@ def run_torch_reference(cfg, x_pool, y_pool, x_test, y_test, train_idx, val_idx,
 # ---------------------------------------------------------------------------
 
 def run_jax_engine(cfg, torch_init_model, x_pool, y_pool, x_test, y_test,
-                   train_idx, val_idx, fit_key):
+                   train_idx, val_idx, fit_key, epochs=EPOCHS, batch=BATCH):
     from test_torch_parity import transplant
 
     from imagined_speech_decoding_tpu.models.api import make_fast_model
@@ -217,12 +218,12 @@ def run_jax_engine(cfg, torch_init_model, x_pool, y_pool, x_test, y_test,
     params0, state0 = transplant(torch_init_model, cfg)
 
     n_train, n_val = len(train_idx), len(val_idx)
-    spe = -(-n_train // BATCH)
-    table = jnp.asarray(lightning_lr_table(EPOCHS, spe))
+    spe = -(-n_train // batch)
+    table = jnp.asarray(lightning_lr_table(epochs, spe))
     schedule = lambda c: table[jnp.clip(c, 0, table.shape[0] - 1)]
 
     fit = make_fit(
-        model.apply, cfg.n_classes, epochs=EPOCHS, batch_size=BATCH,
+        model.apply, cfg.n_classes, epochs=epochs, batch_size=batch,
         n_train=n_train, n_val=n_val, learning_rate=LR,
         warmup_epochs=WARMUP_EPOCHS, schedule=schedule,
     )
@@ -237,11 +238,11 @@ def run_jax_engine(cfg, torch_init_model, x_pool, y_pool, x_test, y_test,
     return res, hist, float(res.best_val_acc), test_acc
 
 
-def run_both(seed: int = 0):
+def run_both(seed: int = 0, epochs: int = EPOCHS, batch: int = BATCH):
     cfg = make_cfg()
     x_pool, y_pool, x_test, y_test, train_idx, val_idx = make_data(seed)
     fit_key = jax.random.PRNGKey(123)
-    batch_plan = replay_batch_indices(fit_key, EPOCHS, len(train_idx), BATCH)
+    batch_plan = replay_batch_indices(fit_key, epochs, len(train_idx), batch)
     # Same torch-seeded init on both sides: build the torch model first,
     # train a transplanted copy on the JAX side.
     ref = _load_ref_fast()
@@ -249,15 +250,17 @@ def run_both(seed: int = 0):
     init_model = ref.FAST(torch_config(cfg))
 
     jres, jhist, jbest, jtest = run_jax_engine(
-        cfg, init_model, x_pool, y_pool, x_test, y_test, train_idx, val_idx, fit_key
+        cfg, init_model, x_pool, y_pool, x_test, y_test, train_idx, val_idx,
+        fit_key, epochs=epochs, batch=batch,
     )
     tmodel, thist, tbest, ttest = run_torch_reference(
-        cfg, x_pool, y_pool, x_test, y_test, train_idx, val_idx, batch_plan
+        cfg, x_pool, y_pool, x_test, y_test, train_idx, val_idx, batch_plan,
+        epochs=epochs,
     )
     return {
         "torch": {"hist": thist, "best_val_acc": tbest, "test_acc": ttest},
         "jax": {"hist": jhist, "best_val_acc": jbest, "test_acc": jtest},
-        "n_steps": EPOCHS * len(batch_plan[0][0]),
+        "n_steps": epochs * len(batch_plan[0][0]),
         "n_val": len(val_idx),
     }
 
@@ -297,6 +300,43 @@ class TestTrajectoryParity:
         final accuracy away from both chance (0.2) and ceiling (1.0)."""
         for side in ("torch", "jax"):
             assert 0.30 < result[side]["test_acc"] < 0.95, result[side]
+
+    def test_final_accuracy_within_1pt(self, result):
+        delta = abs(result["jax"]["test_acc"] - result["torch"]["test_acc"])
+        assert delta <= 0.01 + 1e-9, (
+            f"jax {result['jax']['test_acc']:.4f} vs "
+            f"torch {result['torch']['test_acc']:.4f}"
+        )
+
+
+@pytest.mark.slow
+class TestTrajectoryParityRaggedTail:
+    """Same oracle comparison at a batch size that does NOT divide the
+    train-set size (96 trials at batch 28 -> 3x28 + 1x12): pins the
+    engine's pad-free ragged tail step — the final short batch runs at
+    its exact shape instead of padded with zero-weight rows — against
+    the torch loop's masked short batch. 25 epochs x 4 steps = 100
+    optimizer steps."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        return run_both(epochs=25, batch=28)
+
+    def test_enough_steps(self, result):
+        assert result["n_steps"] >= 100
+
+    def test_train_loss_curves_match(self, result):
+        t = np.asarray(result["torch"]["hist"]["loss"])
+        j = np.asarray(result["jax"]["hist"]["loss"])
+        np.testing.assert_allclose(j[:5], t[:5], rtol=2e-3)
+        np.testing.assert_allclose(j, t, rtol=6e-2)
+
+    def test_val_curves_match(self, result):
+        t = np.asarray(result["torch"]["hist"]["val_acc"])
+        j = np.asarray(result["jax"]["hist"]["val_acc"])
+        one_trial = 1.0 / result["n_val"]
+        assert np.max(np.abs(j - t)) <= one_trial + 1e-6
+        assert np.mean(np.abs(j - t) < 1e-6) >= 0.8
 
     def test_final_accuracy_within_1pt(self, result):
         delta = abs(result["jax"]["test_acc"] - result["torch"]["test_acc"])
