@@ -269,12 +269,14 @@ def main():
         return float(np.median(lat) * 1e3)
 
     # Dispatch floor: one trivial jitted op through the same
-    # host->device->host path. On the axon remote tunnel this floor is
-    # ~28-40 ms and DOMINATES the decode p50 (measured 2026-08-17:
-    # identity 39 ms, decode-with-filters 28 ms, decode-no-filters
-    # 28 ms — the on-device filter+model compute is <1 ms); on locally
-    # attached TPU the same graph dispatches in <2 ms.
-    floor_ms = p50_ms(jax.jit(lambda v: v * 2.0 + 1.0))
+    # host->device->host path, with an output the SIZE OF THE
+    # DECODER'S (n_classes floats) — an identity that round-trips the
+    # full (1, 64, 800) input would charge the floor ~200 KB of D2H
+    # the decode path never pays, overstating the floor and clamping
+    # the derived on-device-compute figure to 0. On the axon remote
+    # tunnel this floor is ~25-40 ms and DOMINATES the decode p50; on
+    # locally attached TPU the same graph dispatches in <2 ms.
+    floor_ms = p50_ms(jax.jit(lambda v: v.reshape(-1)[: cfg.n_classes] * 2.0 + 1.0))
     lat_ms = p50_ms(decoder)
     log(f"bench: online decode latency (1 window, notch+bandpass+FAST) "
         f"p50 {lat_ms:.2f} ms (dispatch floor for ANY 1-window op on "

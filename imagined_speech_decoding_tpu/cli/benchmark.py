@@ -102,6 +102,9 @@ def process_results(
 
 
 def main(argv=None):
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()  # the t-test/metric math below runs jitted jnp code
     p = argparse.ArgumentParser(description="Aggregate benchmark metrics")
     p.add_argument("--results_dir", type=str, default="results/finetune_official")
     p.add_argument("--models", type=str, nargs="*", default=None,

@@ -76,7 +76,7 @@ def plot_zone_importance(
     colors = ["tab:red" if v >= 0 else "tab:blue" for v in zone_values]
     ax.bar(list(zone_names), zone_values, color=colors, edgecolor="black")
     ax.axhline(0, color="k", lw=0.8)
-    ax.set_ylabel("Summed attribution")
+    ax.set_ylabel("Mean attribution")
     ax.set_title(title)
     plt.setp(ax.get_xticklabels(), rotation=30, ha="right")
     fig.tight_layout()

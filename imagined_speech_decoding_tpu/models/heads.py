@@ -227,6 +227,21 @@ def _conv4_tails_composed(params, h):
     return _tails_composed_core(h, w3, w4)
 
 
+def _edge_two_stage(strip, left, w3d, w4d):
+    """Exact two-stage window-local tail values on a ``2e``-wide edge
+    strip (``strip (B, Z, I, 2e)`` → ``(B, Z, O, e)``). Weights must
+    already be in the compute dtype. Shared by the composed-tails
+    forward (`_tails_composed_core`) and the `conv2c` custom backward
+    (`_tails_composed_cvjp_bwd`) so the edge math cannot drift between
+    a forward edit and the hand-written VJP."""
+    k3, k4 = w3d.shape[-1], w4d.shape[-1]
+    pad = [(0, 0), (0, 0), (0, 0)]
+    p3 = [(k3 // 2, 0)] if left else [(0, k3 // 2)]
+    p4 = [(k4 // 2, 0)] if left else [(0, k4 // 2)]
+    h3 = _conv_valid_time(jnp.pad(strip, pad + p3), w3d)
+    return _conv_valid_time(jnp.pad(h3, pad + p4), w4d)
+
+
 def _tails_composed_core(h, w3, w4):
     """Composed-tails forward math: ``h (B, Z, I, T1)`` ×
     ``w3/w4 (Z, O|J, I|J, K)`` → ``(B, Z, O)``. See
@@ -243,19 +258,10 @@ def _tails_composed_core(h, w3, w4):
     base = jnp.mean(g, axis=-1).astype(jnp.float32)  # (B, Z, O)
 
     w3d, w4d = w3.astype(h.dtype), w4.astype(h.dtype)
-    pad = [(0, 0), (0, 0), (0, 0)]
-
-    def true_edges(strip, left):
-        """Exact two-stage window-local values on an edge strip
-        (``strip (B, Z, I, 2e)`` → ``(B, Z, O, e)``)."""
-        p3 = [(k3 // 2, 0)] if left else [(0, k3 // 2)]
-        p4 = [(k4 // 2, 0)] if left else [(0, k4 // 2)]
-        h3 = _conv_valid_time(jnp.pad(strip, pad + p3), w3d)
-        return _conv_valid_time(jnp.pad(h3, pad + p4), w4d)
-
     s_l = jax.lax.slice_in_dim(h, 0, 2 * e, axis=-1)
     s_r = jax.lax.slice_in_dim(h, t1 - 2 * e, t1, axis=-1)
-    true_l, true_r = true_edges(s_l, True), true_edges(s_r, False)
+    true_l = _edge_two_stage(s_l, True, w3d, w4d)
+    true_r = _edge_two_stage(s_r, False, w3d, w4d)
     approx_l = jax.lax.slice_in_dim(h4c, 0, e, axis=-1)
     approx_r = jax.lax.slice_in_dim(h4c, t1 - e, t1, axis=-1)
     corr = sum(
@@ -334,17 +340,15 @@ def _tails_composed_cvjp_bwd(res, cot):
     dw3, dw4 = vjp_c(dw34)
 
     # Edge strips: exact two-stage recompute on 2e-wide slices of h
-    # (tiny), differentiated directly.
-    pad = [(0, 0), (0, 0), (0, 0)]
+    # (tiny), differentiated directly through the SAME helper the
+    # forward uses (`_edge_two_stage`).
     s_l = jax.lax.slice_in_dim(h, 0, 2 * e, axis=-1)
     s_r = jax.lax.slice_in_dim(h, t1 - 2 * e, t1, axis=-1)
 
     def edge_mean(sl, sr, a3, a4):
         a3d, a4d = a3.astype(h.dtype), a4.astype(h.dtype)
-        h3l = _conv_valid_time(jnp.pad(sl, pad + [(k3 // 2, 0)]), a3d)
-        h4l = _conv_valid_time(jnp.pad(h3l, pad + [(k4 // 2, 0)]), a4d)
-        h3r = _conv_valid_time(jnp.pad(sr, pad + [(0, k3 // 2)]), a3d)
-        h4r = _conv_valid_time(jnp.pad(h3r, pad + [(0, k4 // 2)]), a4d)
+        h4l = _edge_two_stage(sl, True, a3d, a4d)
+        h4r = _edge_two_stage(sr, False, a3d, a4d)
         s = jnp.sum(
             jax.nn.gelu(h4l, approximate=False).astype(jnp.float32), axis=-1
         ) + jnp.sum(jax.nn.gelu(h4r, approximate=False).astype(jnp.float32), axis=-1)

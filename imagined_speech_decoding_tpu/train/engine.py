@@ -119,14 +119,17 @@ def make_fit(
     # Validation batching is free to differ from the train batch size —
     # metrics are weighted sums, so any batching gives identical numbers
     # — and the train size is usually wasteful here: n_val=70 at batch 64
-    # pads to 2x64=128 trial-forwards per epoch. Default: the size <=
-    # batch_size that minimizes total padded slots (ties -> fewer,
-    # larger batches), e.g. 70 -> 2x35 with zero waste; an explicit
+    # pads to 2x64=128 trial-forwards per epoch. Default: never take
+    # more eval steps than the train size would (per-step dispatch
+    # dominates tiny batches), and among step-count-minimal sizes pick
+    # the one with the fewest padded slots, largest batch on ties —
+    # 70 -> 2x35 (zero waste), 71 -> 2x36 (1 slot; NOT 71x1, which a
+    # pure waste-minimizing rule would pick). An explicit
     # ``eval_batch_size`` overrides.
     if eval_batch_size is None:
         eval_batch_size = batch_size if n_val < 1 else min(
             range(1, min(batch_size, n_val) + 1),
-            key=lambda b: ((n_val + b - 1) // b * b, -b),
+            key=lambda b: (-(-n_val // b), -(-n_val // b) * b, -b),
         )
     vidx_np, vw_np = sequential_batch_indices(n_val, eval_batch_size)
     vidx_c = jnp.asarray(vidx_np)
@@ -209,11 +212,14 @@ def make_fit(
             # batch_size trials) runs as its own exact-shape step
             # instead of being padded to batch_size with zero-weight
             # rows (280 trials at batch 64: 4x64 scanned + 1x56 = 280
-            # trial-forwards per epoch instead of 320). The math is
-            # identical — losses/metrics are weight-summed and BN
-            # statistics row-masked, and batch content, order, PRNG
-            # streams and the optimizer step count are all unchanged;
-            # only the dead slots' compute goes away.
+            # trial-forwards per epoch instead of 320). Deterministic
+            # math is identical — losses/metrics are weight-summed and
+            # BN statistics row-masked, and batch content, order and
+            # the optimizer step count are all unchanged. One caveat:
+            # with dropout > 0 the tail step draws its masks at shape
+            # (rem, ...) rather than (batch_size, ...), so mask BITS
+            # differ from the padded formulation (statistically
+            # equivalent, but padded-era runs are not bit-replayable).
             rem = n_train % batch_size
             n_full = spe - 1 if rem else spe
             carry_t = (params0_c, mstate0_c, opt_state0_c)
@@ -311,6 +317,7 @@ def make_fit(
     fit.segment = segment
     fit.result = _result
     fit.epochs_per_call = epochs
+    fit.eval_batch_size = eval_batch_size
     return fit
 
 

@@ -193,6 +193,24 @@ class TestEngine:
         l1 = np.asarray(fitted.history["loss"][1])
         assert not np.allclose(l0, l1)
 
+    def test_eval_batch_auto_selection(self, tiny_setup):
+        """Default eval batch: fewest steps first (never a tiny-batch
+        scan for divisor-poor n_val), then least padding, then the
+        larger size."""
+        cfg, model, X, Y = tiny_setup
+        cases = {
+            # (batch_size, n_val) -> expected eval batch
+            (64, 70): 35,   # 2 steps, zero waste
+            (64, 71): 36,   # 2 steps, 1 padded slot — not 71 steps of 1
+            (64, 8): 8,     # single exact batch
+            (64, 64): 64,
+            (16, 20): 10,   # capped at train batch; 2x10 exact
+        }
+        for (bs, n_val), want in cases.items():
+            fit = make_fit(model.apply, cfg.n_classes, epochs=1,
+                           batch_size=bs, n_train=bs, n_val=n_val)
+            assert fit.eval_batch_size == want, (bs, n_val, fit.eval_batch_size)
+
     def test_predict_shapes(self, tiny_setup):
         cfg, model, X, Y = tiny_setup
         params, state = model.init(jax.random.PRNGKey(0))
