@@ -39,8 +39,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loso-epochs", type=int, default=100)
     p.add_argument("--remat", action="store_true", help="recompute head activations in bwd")
     p.add_argument(
+        "--head_chunk", type=int, default=None, metavar="N_WINDOWS",
+        help="micro-batch the zone-CNN head over trial chunks of <= N "
+             "windows (bench production config: 256 with --remat — fits "
+             "the 75-model stack in one chip's HBM)",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="resume from the segment checkpoint under --output_dir",
+    )
+    p.add_argument(
+        "--checkpoint_every", type=int, default=1, metavar="K",
+        help="write the resume checkpoint every K segments (writes "
+             "overlap compute on a background thread; raise K on slow "
+             "disks to trade crash-resume granularity for wall time)",
     )
     p.add_argument(
         "--mesh", type=str, default="none", choices=["none", "model", "data", "2d"],
@@ -116,7 +128,8 @@ def main(argv=None):
 
     X, Y, subjects, test = load_data(args)
     model = make_fast_model(
-        cfg.model, compute_dtype=cfg.train.compute_dtype, remat=args.remat
+        cfg.model, compute_dtype=cfg.train.compute_dtype, remat=args.remat,
+        head_micro_batch=args.head_chunk,
     )
 
     warm = None
@@ -149,6 +162,7 @@ def main(argv=None):
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
         resume=args.resume,
         mesh_axis=None if args.mesh == "none" else args.mesh,
+        checkpoint_every=args.checkpoint_every,
     )
 
     print("\n" + "=" * 60)

@@ -125,6 +125,7 @@ def train_per_subject_cv(
     resume: bool = True,
     mesh_axis: Optional[str] = None,
     subject_group_size: Optional[int] = None,
+    checkpoint_every: int = 1,
     _key_block: Optional[Tuple[int, int]] = None,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
@@ -147,6 +148,7 @@ def train_per_subject_cv(
             model, tc, X, Y, subjects, n_classes, test_per_subject, save_dir,
             data_dtype, warm_start, epochs_per_segment, verbose,
             checkpoint_dir, resume, mesh_axis, subject_group_size,
+            checkpoint_every,
         )
     k = tc.n_folds
     m_count = s_count * k
@@ -229,6 +231,7 @@ def train_per_subject_cv(
             tidx_d, vidx_d, x_flat, y_flat,
             total_epochs=tc.max_epochs, progress=progress,
             checkpoint_dir=checkpoint_dir, resume=resume,
+            checkpoint_every=checkpoint_every,
         )
     )
     if m_padded != m_count:  # drop the mesh-padding replicas
@@ -319,7 +322,7 @@ def train_per_subject_cv(
 def _train_grouped(
     model, tc, X, Y, subjects, n_classes, test_per_subject, save_dir,
     data_dtype, warm_start, epochs_per_segment, verbose,
-    checkpoint_dir, resume, mesh_axis, group: int,
+    checkpoint_dir, resume, mesh_axis, group: int, checkpoint_every: int = 1,
 ) -> CVRunResult:
     """Sequential subject-group driver for ``train_per_subject_cv`` (see
     its ``subject_group_size``): each group runs the stacked engine over
@@ -346,6 +349,7 @@ def _train_grouped(
                 if checkpoint_dir else None
             ),
             resume=resume, mesh_axis=mesh_axis,
+            checkpoint_every=checkpoint_every,
             # global key indexing: same per-model keys as the ungrouped run
             _key_block=(g0 * k, s_total * k),
         )

@@ -342,6 +342,7 @@ def fit_many_segmented(
     progress: Optional[Callable[[int, Dict], None]] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
+    checkpoint_every: int = 1,
 ) -> FitResult:
     """Segmented variant of ``fit_many``: repeatedly invokes one compiled
     ``epochs_per_call``-epoch segment, carrying (params, optimizer, best
@@ -354,15 +355,27 @@ def fit_many_segmented(
     schedule spans the full run.
 
     ``checkpoint_dir``: persist the full carry (params, optimizer state,
-    best snapshot, epoch counter) + history to disk at every segment
-    boundary (atomic tmp+rename), and — with ``resume=True`` — restart
+    best snapshot, epoch counter) + history to disk at segment
+    boundaries (atomic tmp+rename), and — with ``resume=True`` — restart
     from the newest boundary after a crash. The reference analogue is
     Lightning ``ModelCheckpoint`` during ``trainer.fit``
     (``scripts/train_fast.py:118-125``); this additionally restores the
     optimizer, so a resumed run is step-identical to an uninterrupted
     one (tested).
+
+    Checkpoint writes run on a single background thread so the next
+    segment's device compute overlaps the disk write (a 75-model carry
+    is ~300 MB, ~60 s on the measured ~5 MB/s container disk — fully
+    serialized saves dominated campaign wall time). The functional
+    carry makes this race-free: the writer holds the old immutable
+    snapshot while the device produces the new one; writes stay atomic
+    (tmp+rename) and at most one is in flight. ``checkpoint_every=k``
+    additionally writes only every k-th boundary (the last segment
+    always writes) — crash-resume then restarts from a k-segment
+    granularity instead of 1.
     """
     import os
+    import threading
 
     from .checkpoint import load_segment_checkpoint, save_segment_checkpoint
 
@@ -381,15 +394,25 @@ def fit_many_segmented(
     if ckpt_path and resume and os.path.exists(ckpt_path):
         carry, histories, start_seg = load_segment_checkpoint(ckpt_path, init)
 
+    writer: Optional[threading.Thread] = None
     for s in range(start_seg, n_segments):
         seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
         carry, hist = segment(carry, seg_keys, train_idx, val_idx, X, Y)
         histories.append(hist)
-        if ckpt_path:
+        if ckpt_path and ((s + 1) % max(checkpoint_every, 1) == 0 or s + 1 == n_segments):
             jax.block_until_ready(hist)
-            save_segment_checkpoint(ckpt_path, carry, histories, s + 1)
+            if writer is not None:
+                writer.join()
+            writer = threading.Thread(
+                target=save_segment_checkpoint,
+                args=(ckpt_path, carry, list(histories), s + 1),
+                daemon=True,
+            )
+            writer.start()
         if progress is not None:
             progress(min((s + 1) * seg, total_epochs), hist)
+    if writer is not None:
+        writer.join()
 
     history = {
         k: jnp.concatenate([h[k] for h in histories], axis=-1)[..., :total_epochs]
