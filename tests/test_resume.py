@@ -86,6 +86,45 @@ class TestSegmentCheckpoint:
         fresh = _run(setup, 2, ckpt_dir=ckpt_dir, resume=False)
         assert fresh.history["loss"].shape[-1] == 2
 
+    def test_checkpoint_every_thins_cadence_and_resumes(self, setup, tmp_path):
+        """checkpoint_every=2 over 3 segments: the write after segment 1
+        is skipped (the background-writer path still persists segments 2
+        and the final 3), and resume from the thinned checkpoint is
+        step-identical to the uninterrupted run."""
+        fit, keys, params0, state0, tidx, vidx, X, Y = setup
+        ref = _run(setup, 6)
+
+        ckpt_dir = str(tmp_path / "ckpt3")
+        path = os.path.join(ckpt_dir, "segment_carry.npz")
+        # 2 segments, cadence 2: exactly one write (after segment 2)
+        fit_many_segmented(
+            fit, keys, params0, state0, tidx, vidx, X, Y,
+            total_epochs=4, checkpoint_dir=ckpt_dir, checkpoint_every=2,
+        )
+        assert os.path.exists(path)
+        resumed = fit_many_segmented(
+            fit, keys, params0, state0, tidx, vidx, X, Y,
+            total_epochs=6, checkpoint_dir=ckpt_dir, checkpoint_every=2,
+        )
+        for a, b in zip(jax.tree.leaves(resumed.params), jax.tree.leaves(ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(resumed.history["val_acc"]), np.asarray(ref.history["val_acc"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_final_segment_always_checkpointed(self, setup, tmp_path):
+        """With cadence > n_segments no interior boundary matches, but
+        the final segment must still write (the campaign's end state is
+        never lost to a thinned cadence)."""
+        ckpt_dir = str(tmp_path / "ckpt4")
+        fit, keys, params0, state0, tidx, vidx, X, Y = setup
+        fit_many_segmented(
+            fit, keys, params0, state0, tidx, vidx, X, Y,
+            total_epochs=4, checkpoint_dir=ckpt_dir, checkpoint_every=99,
+        )
+        assert os.path.exists(os.path.join(ckpt_dir, "segment_carry.npz"))
+
 
 class TestEpochBudgetFreeze:
     """total_epochs not divisible by the segment length: surplus epochs
