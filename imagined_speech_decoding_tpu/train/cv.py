@@ -20,6 +20,7 @@ simultaneously inside one jitted program:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -225,6 +226,7 @@ def train_per_subject_cv(
             va = float(np.mean(np.asarray(hist["val_acc"][:m_count, -1])))
             print(f"  epoch {done_epochs}/{tc.max_epochs}: mean val_acc {va:.4f}")
 
+    t_fit0 = time.perf_counter()
     res: FitResult = jax.block_until_ready(
         fit_many_segmented(
             fit, fit_keys, params0, state0,
@@ -234,9 +236,11 @@ def train_per_subject_cv(
             checkpoint_every=checkpoint_every,
         )
     )
+    t_fit = time.perf_counter() - t_fit0
     if m_padded != m_count:  # drop the mesh-padding replicas
         res = jax.tree.map(lambda v: v[:m_count], res)
 
+    t_art0 = time.perf_counter()
     best_val = np.asarray(res.best_val_acc)  # (M,)
     history = {h: np.asarray(v) for h, v in res.history.items()}  # (M, E)
 
@@ -301,6 +305,11 @@ def train_per_subject_cv(
         subject_rows, columns=["Subject", "Best_Val_Acc", "Test_Acc", "Test_F1"]
     )
 
+    if verbose:
+        print(
+            f"  phases: fit {t_fit:.1f}s | per-subject artifacts+eval "
+            f"{time.perf_counter() - t_art0:.1f}s"
+        )
     if save_dir:
         summary.to_csv(os.path.join(save_dir, "summary_per_subject.csv"), index=False)
         if global_pred:
