@@ -394,25 +394,43 @@ def fit_many_segmented(
     if ckpt_path and resume and os.path.exists(ckpt_path):
         carry, histories, start_seg = load_segment_checkpoint(ckpt_path, init)
 
+    # Writer-thread failures (disk full, permissions) must not be
+    # swallowed: a campaign that "succeeds" with a stale checkpoint
+    # would silently resume from the wrong epoch. The thread records
+    # its exception; join re-raises it on the caller.
     writer: Optional[threading.Thread] = None
+    writer_err: list = []
+
+    def _save_async(*save_args):
+        try:
+            save_segment_checkpoint(*save_args)
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            writer_err.append(e)
+
+    def _join_writer():
+        if writer is not None:
+            writer.join()
+        if writer_err:
+            raise RuntimeError(
+                f"segment-checkpoint write to {ckpt_path} failed"
+            ) from writer_err[0]
+
     for s in range(start_seg, n_segments):
         seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
         carry, hist = segment(carry, seg_keys, train_idx, val_idx, X, Y)
         histories.append(hist)
         if ckpt_path and ((s + 1) % max(checkpoint_every, 1) == 0 or s + 1 == n_segments):
             jax.block_until_ready(hist)
-            if writer is not None:
-                writer.join()
+            _join_writer()
             writer = threading.Thread(
-                target=save_segment_checkpoint,
+                target=_save_async,
                 args=(ckpt_path, carry, list(histories), s + 1),
                 daemon=True,
             )
             writer.start()
         if progress is not None:
             progress(min((s + 1) * seg, total_epochs), hist)
-    if writer is not None:
-        writer.join()
+    _join_writer()
 
     history = {
         k: jnp.concatenate([h[k] for h in histories], axis=-1)[..., :total_epochs]

@@ -113,6 +113,23 @@ class TestSegmentCheckpoint:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_writer_failure_propagates(self, setup, tmp_path, monkeypatch):
+        """A failed background checkpoint write (disk full, permissions)
+        must fail the run at the next join — never a silent success with
+        a stale checkpoint that a later --resume would trust."""
+        import imagined_speech_decoding_tpu.train.checkpoint as ckpt_mod
+
+        def _boom(*args, **kwargs):
+            raise OSError("no space left on device (simulated)")
+
+        monkeypatch.setattr(ckpt_mod, "save_segment_checkpoint", _boom)
+        fit, keys, params0, state0, tidx, vidx, X, Y = setup
+        with pytest.raises(RuntimeError, match="segment-checkpoint write"):
+            fit_many_segmented(
+                fit, keys, params0, state0, tidx, vidx, X, Y,
+                total_epochs=4, checkpoint_dir=str(tmp_path / "ckpt5"),
+            )
+
     def test_final_segment_always_checkpointed(self, setup, tmp_path):
         """With cadence > n_segments no interior boundary matches, but
         the final segment must still write (the campaign's end state is

@@ -111,3 +111,23 @@ class TestMultiModelComparison:
         summary = pd.read_csv(os.path.join(tmp_dir, "Model_Summary.csv"))
         assert set(summary["Model"]) == {"FAST", "TSception", "svm"}
         assert {"Acc_Mean", "F1_Mean", "Global_Acc"} <= set(summary.columns)
+
+
+class TestConsoleEntryPoints:
+    def test_declared_entry_points_resolve(self):
+        """Every [project.scripts] target in pyproject.toml imports and
+        exposes a callable main — an uninstallable entry point would only
+        surface at user install time otherwise."""
+        import importlib
+        import re
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "pyproject.toml")) as f:
+            text = f.read()
+        block = re.search(r"\[project\.scripts\]\n(.*?)\n\n", text, re.S)
+        assert block, "pyproject.toml lost its [project.scripts] table"
+        targets = re.findall(r'=\s*"([\w.]+):(\w+)"', block.group(1))
+        assert len(targets) >= 9
+        for mod_name, attr in targets:
+            mod = importlib.import_module(mod_name)
+            assert callable(getattr(mod, attr)), f"{mod_name}:{attr}"
