@@ -416,6 +416,8 @@ def fit_many_segmented(
             ) from writer_err[0]
 
     for s in range(start_seg, n_segments):
+        if writer_err:  # fail fast: don't burn further segments of
+            _join_writer()  # device compute after a write already failed
         seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
         carry, hist = segment(carry, seg_keys, train_idx, val_idx, X, Y)
         histories.append(hist)

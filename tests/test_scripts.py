@@ -124,10 +124,18 @@ class TestConsoleEntryPoints:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(root, "pyproject.toml")) as f:
             text = f.read()
-        block = re.search(r"\[project\.scripts\]\n(.*?)\n\n", text, re.S)
+        block = re.search(r"\[project\.scripts\]\n(.*?)(?=\n\[|\Z)", text, re.S)
         assert block, "pyproject.toml lost its [project.scripts] table"
         targets = re.findall(r'=\s*"([\w.]+):(\w+)"', block.group(1))
         assert len(targets) >= 9
         for mod_name, attr in targets:
             mod = importlib.import_module(mod_name)
-            assert callable(getattr(mod, attr)), f"{mod_name}:{attr}"
+            fn = getattr(mod, attr)
+            assert callable(fn), f"{mod_name}:{attr}"
+            # setuptools wrappers run sys.exit(target()): a non-None
+            # return would exit 1 on success, so targets must be the
+            # return-swallowing wrappers, not the raw CLI mains.
+            assert mod_name.endswith("_scriptmain"), (
+                f"{mod_name}:{attr} — point entry points at "
+                "cli._scriptmain wrappers (raw main() returns objects)"
+            )
