@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="resume from the segment checkpoint under --output_dir",
     )
     p.add_argument(
+        "--profile", type=str, default=None, metavar="LOGDIR",
+        help="capture a jax.profiler device trace of the CV fit into "
+             "LOGDIR (TensorBoard-loadable op timeline + HBM usage)",
+    )
+    p.add_argument(
         "--checkpoint_every", type=int, default=1, metavar="K",
         help="write the resume checkpoint every K segments (writes "
              "overlap compute on a background thread; raise K on slow "
@@ -156,14 +161,23 @@ def main(argv=None):
         )
         warm = (params0, state0)
 
-    result = train_per_subject_cv(
-        model, cfg.train, X, Y, subjects, cfg.model.n_classes,
-        test_per_subject=test, save_dir=args.output_dir, warm_start=warm,
-        checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
-        resume=args.resume,
-        mesh_axis=None if args.mesh == "none" else args.mesh,
-        checkpoint_every=args.checkpoint_every,
-    )
+    import contextlib
+
+    from imagined_speech_decoding_tpu.profiling import trace
+
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        result = train_per_subject_cv(
+            model, cfg.train, X, Y, subjects, cfg.model.n_classes,
+            test_per_subject=test, save_dir=args.output_dir, warm_start=warm,
+            checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+            resume=args.resume,
+            mesh_axis=None if args.mesh == "none" else args.mesh,
+            checkpoint_every=args.checkpoint_every,
+        )
+    if args.profile:
+        print(f"device trace written to {args.profile} (TensorBoard: "
+              f"`tensorboard --logdir {args.profile}`)")
 
     print("\n" + "=" * 60)
     print("FINETUNE COMPLETE")

@@ -79,14 +79,21 @@ class TestEndToEndSynthetic:
 
     @pytest.mark.slow
     def test_train_fast_synthetic(self, tmp_dir):
+        trace_dir = os.path.join(tmp_dir, "trace")
         result = train_cli.main([
             "--config", "nonexistent.yaml",
             "--synthetic", "2", "--synthetic_trials", "30",
             "--epochs", "3", "--batch_size", "10", "--n_folds", "3",
             "--precision", "f32",
+            "--profile", trace_dir,
             "--output_dir", tmp_dir,
         ])
         assert len(result.summary) == 2
+        import glob
+
+        assert glob.glob(os.path.join(trace_dir, "plugins", "profile", "*", "*")), (
+            "--profile produced no device-trace artifacts"
+        )
         assert os.path.exists(os.path.join(tmp_dir, "summary_per_subject.csv"))
         assert os.path.exists(os.path.join(tmp_dir, "global_test_predictions.csv"))
         assert os.path.exists(os.path.join(tmp_dir, "sub-01", "best_subject.npz"))
