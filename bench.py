@@ -80,10 +80,19 @@ def measure_peak_matmul_tflops():
     a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
 
+    # 400 chained matmuls = 55 TFLOP per call (~0.3-0.4 s on this chip):
+    # enough compute that the ~25-40 ms remote-tunnel dispatch floor
+    # (measured separately below as dispatch_floor_p50_ms) is <10% of
+    # the timed region — at 10 iterations the floor WAS the measurement,
+    # understating the roofline denominator (and so overstating MFU)
+    # several-fold (r1/r2 originally reported ~41 TFLOP/s "peak", i.e.
+    # one 33 ms floor around ~10 ms of matmul).
+    iters = 400
+
     @jax.jit
     def mm(a, b):
         return jax.lax.fori_loop(
-            0, 10, lambda i, c: jnp.dot(a, c, preferred_element_type=jnp.bfloat16), b
+            0, iters, lambda i, c: jnp.dot(a, c, preferred_element_type=jnp.bfloat16), b
         )
 
     out = mm(a, b)
@@ -93,7 +102,7 @@ def measure_peak_matmul_tflops():
         t0 = time.perf_counter()
         out = mm(a, b)
         float(jnp.sum(out[0, :2].astype(jnp.float32)))
-        best = max(best, 10 * 2 * n**3 / (time.perf_counter() - t0) / 1e12)
+        best = max(best, iters * 2 * n**3 / (time.perf_counter() - t0) / 1e12)
     return best
 
 
@@ -103,6 +112,7 @@ def main():
     from imagined_speech_decoding_tpu.models.api import make_fast_model
     from imagined_speech_decoding_tpu.ops import butter_sos, notch_ba
     from imagined_speech_decoding_tpu.ops.pallas import sosfiltfilt_pallas
+    from imagined_speech_decoding_tpu.profiling import sync_scalar
     from imagined_speech_decoding_tpu.train.cv import build_cv_index_stack, stacked_init
     from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
 
@@ -127,7 +137,7 @@ def main():
             label_noise=LABEL_NOISE,
         )
     )(jax.random.PRNGKey(0))
-    jax.block_until_ready(x_flat)
+    sync_scalar(x_flat)  # block_until_ready is unreliable on the axon backend
     log(f"bench: corpus generated on device in {time.perf_counter() - t0:.2f}s")
 
     # ---- preprocessing: notch + bandpass over the whole corpus, jitted
@@ -144,10 +154,7 @@ def main():
         x = sosfiltfilt_pallas(nsos, x)
         return sosfiltfilt_pallas(sos, x)
 
-    def sync(arr):
-        """Force completion via a scalar readback — block_until_ready does
-        not reliably block on the axon remote backend."""
-        return float(jnp.sum(arr[0, 0]))
+    sync = sync_scalar  # scalar-readback sync (see profiling.py)
 
     t0 = time.perf_counter()
     warm = preprocess(x_flat)  # compile + warmup
@@ -214,10 +221,9 @@ def main():
         2 * (n_zones * cfg.dim_cnn) * (cfg.n_channels * k1) * t_full // cfg.n_tokens
         + 2 * 2 * n_zones * cfg.dim_cnn * cfg.dim_cnn * k1 * t1
     )
-    train_pass_windows = m_count * BENCH_EPOCHS * n_train * cfg.n_tokens
     eval_pass_windows = m_count * BENCH_EPOCHS * n_val * cfg.n_tokens
     run_flops = (
-        3 * fwd_flops_per_window * train_pass_windows  # fwd+bwd
+        3 * fwd_flops_per_window * trainpass_windows  # fwd+bwd
         + fwd_flops_per_window * eval_pass_windows
     )
     peak_tflops = measure_peak_matmul_tflops()
