@@ -39,36 +39,43 @@ def save_history_csv(path: str, history: Dict[str, np.ndarray]) -> str:
 
 def plot_learning_curves(path: str, history: Dict[str, np.ndarray], title: str = "") -> str:
     """Loss + accuracy side-by-side curves (reference
-    ``scripts/train_fast.py:152-178``)."""
+    ``scripts/train_fast.py:152-178``).
+
+    Built with the object-oriented API (no pyplot global state) so
+    calls are thread-safe — the CV driver renders the 75 per-fold
+    figures of a full campaign concurrently (33 s serial on the
+    measured host; rendering dominates the artifact phase otherwise).
+    """
+    from matplotlib.figure import Figure
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     h = {k: np.asarray(v) for k, v in history.items()}
-    plt.figure(figsize=(10, 4))
+    fig = Figure(figsize=(10, 4))
 
-    plt.subplot(1, 2, 1)
+    ax = fig.add_subplot(1, 2, 1)
     if "loss" in h:
-        plt.plot(h["loss"], label="Train Loss", color="blue")
+        ax.plot(h["loss"], label="Train Loss", color="blue")
     if "val_loss" in h:
-        plt.plot(h["val_loss"], label="Val Loss", color="orange", linestyle="--")
-    plt.title(f"{title} Loss".strip())
-    plt.xlabel("Epoch")
-    plt.ylabel("Loss")
-    plt.legend()
-    plt.grid(True, alpha=0.3)
+        ax.plot(h["val_loss"], label="Val Loss", color="orange", linestyle="--")
+    ax.set_title(f"{title} Loss".strip())
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Loss")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
 
-    plt.subplot(1, 2, 2)
+    ax = fig.add_subplot(1, 2, 2)
     if "acc" in h:
-        plt.plot(h["acc"], label="Train Acc", color="green")
+        ax.plot(h["acc"], label="Train Acc", color="green")
     if "val_acc" in h:
-        plt.plot(h["val_acc"], label="Val Acc", color="red", linestyle="--")
-    plt.title(f"{title} Accuracy".strip())
-    plt.xlabel("Epoch")
-    plt.ylabel("Accuracy")
-    plt.legend()
-    plt.grid(True, alpha=0.3)
+        ax.plot(h["val_acc"], label="Val Acc", color="red", linestyle="--")
+    ax.set_title(f"{title} Accuracy".strip())
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Accuracy")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
 
-    plt.tight_layout()
-    plt.savefig(path)
-    plt.close()
+    fig.tight_layout()
+    fig.savefig(path)
     return path
 
 

@@ -248,6 +248,18 @@ def train_per_subject_cv(
     global_pred, global_true = [], []
     best_fold_per_subject: Dict[str, int] = {}
 
+    # Curve rendering is the artifact phase's dominant host cost (75
+    # figures ≈ 33 s serial); plot_learning_curves is OO-API
+    # thread-safe, so render concurrently while the loop proceeds with
+    # device evals. Measured neutral on the 1-core bench container
+    # (GIL timesharing) — the overlap pays on any multi-core host.
+    # Futures are joined before returning so failures surface, not
+    # vanish.
+    from concurrent.futures import ThreadPoolExecutor
+
+    plot_pool = ThreadPoolExecutor(max_workers=8) if save_dir else None
+    plot_futures = []
+
     for si, sid in enumerate(subjects):
         fold_ms = [si * k + ki for ki in range(k)]
         fold_accs = best_val[fold_ms]
@@ -260,10 +272,11 @@ def train_per_subject_cv(
             for ki, mi in enumerate(fold_ms):
                 h = {name: history[name][mi] for name in ("loss", "acc", "val_loss", "val_acc")}
                 artifacts.save_history_csv(os.path.join(sub_dir, f"fold-{ki}_history.csv"), h)
-                artifacts.plot_learning_curves(
+                plot_futures.append(plot_pool.submit(
+                    artifacts.plot_learning_curves,
                     os.path.join(sub_dir, f"fold-{ki}_curves.png"), h,
-                    title=f"Subject {sid} Fold {ki + 1}",
-                )
+                    f"Subject {sid} Fold {ki + 1}",
+                ))
             pd.DataFrame(
                 {"Fold": list(range(k)), "Best_Val_Acc": fold_accs}
             ).to_csv(os.path.join(sub_dir, "fold_metrics.csv"), index=False)
@@ -300,6 +313,11 @@ def train_per_subject_cv(
             )
 
         subject_rows.append([sid, float(fold_accs[best_k]), test_acc, test_f1])
+
+    if plot_pool is not None:
+        for f in plot_futures:
+            f.result()  # propagate any render failure
+        plot_pool.shutdown()
 
     summary = pd.DataFrame(
         subject_rows, columns=["Subject", "Best_Val_Acc", "Test_Acc", "Test_F1"]
