@@ -429,3 +429,64 @@ class TestCVBlockTrajectoryWithBN:
         logits, _ = fast_apply(params, state, jnp.asarray(x), cfg, train=False)
         np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=5e-2, atol=5e-3)
         assert j_losses[-1] < j_losses[0]
+
+
+class TestCanonicalGeometryParity:
+    """Weight-transplant parity at the EXACT production geometry —
+    the default config every real training run uses (the reduced
+    harness above keeps the other cases fast): full 64-electrode
+    montage, all 8 zones with ragged sizes 4-15, seq_len 800 →
+    5 sliding windows → CLS over 6 tokens, dim_cnn=dim_token=32,
+    4 transformer layers, 8 heads (``configs/default.yaml`` /
+    reference ``scripts/train_fast.py:293-307``). Guards against
+    geometry-dependent bugs (zone padding, window count, token
+    width) that reduced shapes cannot expose."""
+
+    def test_logits_match_eval_full_geometry(self, ref):
+        from imagined_speech_decoding_tpu.data.constants import Electrodes, Zones
+
+        cfg = FASTConfig(
+            electrodes=tuple(Electrodes),
+            zone_dict={k: tuple(v) for k, v in Zones.items()},
+            dim_cnn=32, dim_token=32,
+            seq_len=800, window_len=250, slide_step=125,
+            head="Conv4Layers", n_classes=5,
+            num_layers=4, num_heads=8,
+            dropout=0.0,  # deterministic parity (eval has no dropout anyway)
+        )
+        torch.manual_seed(0)
+        tm = ref.FAST(torch_config(cfg)).eval()
+        params, state = transplant(tm, cfg)
+        x = np.random.default_rng(0).normal(
+            size=(4, cfg.n_channels, cfg.seq_len)
+        ).astype(np.float32)
+        with torch.no_grad():
+            ref_logits = tm(torch.from_numpy(x)).numpy()
+        logits, _ = fast_apply(params, state, jnp.asarray(x), cfg, train=False)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=RTOL, atol=ATOL)
+
+    def test_forward_head_full_geometry(self, ref):
+        """The tokenizer path alone at full geometry: 5 windows x 8
+        zones x 32 features per trial, against the torch head."""
+        from imagined_speech_decoding_tpu.data.constants import Electrodes, Zones
+        from imagined_speech_decoding_tpu.models.fast import fast_forward_head
+
+        cfg = FASTConfig(
+            electrodes=tuple(Electrodes),
+            zone_dict={k: tuple(v) for k, v in Zones.items()},
+            dim_cnn=32, dim_token=32,
+            seq_len=800, window_len=250, slide_step=125,
+            head="Conv4Layers", n_classes=5,
+            num_layers=4, num_heads=8, dropout=0.0,
+        )
+        torch.manual_seed(1)
+        tm = ref.FAST(torch_config(cfg)).eval()
+        params, state = transplant(tm, cfg)
+        x = np.random.default_rng(1).normal(
+            size=(2, cfg.n_channels, cfg.seq_len)
+        ).astype(np.float32)
+        with torch.no_grad():
+            ref_feat = tm.forward_head(torch.from_numpy(x)).numpy()
+        feat, _ = fast_forward_head(params, state, jnp.asarray(x), cfg)
+        assert np.asarray(feat).shape == (2, cfg.n_tokens, len(Zones), cfg.dim_cnn)
+        np.testing.assert_allclose(np.asarray(feat), ref_feat, rtol=RTOL, atol=ATOL)
