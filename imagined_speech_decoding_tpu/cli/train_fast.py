@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
              "or both over a 2-D mesh ('2d')",
     )
     p.add_argument(
+        "--ensemble", type=int, default=1, metavar="N_MEMBERS",
+        help="train an N-member seed ensemble (identical folds, "
+             "independent weight init/batch order) and soft-vote the "
+             "test posteriors; the root artifact tree holds the "
+             "ensemble decision, each member's tree lands in member-e/",
+    )
+    p.add_argument(
         "--synthetic", type=int, default=0, metavar="N_SUBJECTS",
         help="run on synthetic data with N subjects (no dataset needed)",
     )
@@ -167,14 +174,31 @@ def main(argv=None):
 
     prof = trace(args.profile) if args.profile else contextlib.nullcontext()
     with prof:
-        result = train_per_subject_cv(
-            model, cfg.train, X, Y, subjects, cfg.model.n_classes,
-            test_per_subject=test, save_dir=args.output_dir, warm_start=warm,
-            checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
-            resume=args.resume,
-            mesh_axis=None if args.mesh == "none" else args.mesh,
-            checkpoint_every=args.checkpoint_every,
-        )
+        if args.ensemble > 1:
+            if warm is not None:
+                # a shared warm start would collapse the members' init
+                # diversity — the whole point of the seed ensemble
+                raise SystemExit("--ensemble is incompatible with --loso-pretrain")
+            from imagined_speech_decoding_tpu.train.ensemble import train_seed_ensemble
+
+            result = train_seed_ensemble(
+                model, cfg.train, X, Y, subjects, cfg.model.n_classes,
+                test_per_subject=test, save_dir=args.output_dir,
+                n_members=args.ensemble,
+                checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+                resume=args.resume,
+                mesh_axis=None if args.mesh == "none" else args.mesh,
+                checkpoint_every=args.checkpoint_every,
+            )
+        else:
+            result = train_per_subject_cv(
+                model, cfg.train, X, Y, subjects, cfg.model.n_classes,
+                test_per_subject=test, save_dir=args.output_dir, warm_start=warm,
+                checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+                resume=args.resume,
+                mesh_axis=None if args.mesh == "none" else args.mesh,
+                checkpoint_every=args.checkpoint_every,
+            )
     if args.profile:
         print(f"device trace written to {args.profile} (TensorBoard: "
               f"`tensorboard --logdir {args.profile}`)")

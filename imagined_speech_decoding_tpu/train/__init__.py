@@ -19,6 +19,7 @@ from .engine import (  # noqa: F401
     make_fit,
     make_optimizer,
     predict,
+    predict_proba,
 )
 from .checkpoint import (  # noqa: F401
     load_state_dict,

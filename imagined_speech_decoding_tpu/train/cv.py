@@ -127,6 +127,7 @@ def train_per_subject_cv(
     mesh_axis: Optional[str] = None,
     subject_group_size: Optional[int] = None,
     checkpoint_every: int = 1,
+    model_seed: Optional[int] = None,
     _key_block: Optional[Tuple[int, int]] = None,
 ) -> CVRunResult:
     """Run the full per-subject CV: train S*K models at once, select the
@@ -140,6 +141,12 @@ def train_per_subject_cv(
     geometry). Fold splits and per-model init/fit keys are indexed by
     GLOBAL model position (``_key_block``), so the grouped run draws
     the identical RNG streams as the ungrouped one.
+
+    ``model_seed``: seed for the per-model RNG streams (weight init +
+    in-fit shuffling/dropout). Defaults to ``tc.seed``. The fold splits
+    ALWAYS come from ``tc.seed`` — so seed-ensemble members
+    (``train.ensemble``) share identical folds while drawing
+    independent weights and batch orders.
     """
     s_count, n_trials = X.shape[:2]
     assert s_count == len(subjects)
@@ -149,7 +156,7 @@ def train_per_subject_cv(
             model, tc, X, Y, subjects, n_classes, test_per_subject, save_dir,
             data_dtype, warm_start, epochs_per_segment, verbose,
             checkpoint_dir, resume, mesh_axis, subject_group_size,
-            checkpoint_every,
+            checkpoint_every, model_seed,
         )
     k = tc.n_folds
     m_count = s_count * k
@@ -163,11 +170,12 @@ def train_per_subject_cv(
     n_train, n_val = train_idx.shape[1], val_idx.shape[1]
 
     key_off, key_total = _key_block if _key_block else (0, m_count)
+    m_seed = tc.seed if model_seed is None else model_seed
     if warm_start is not None:
         params0, state0 = warm_start  # e.g. LOSO-pretrained (see train.loso)
     else:
         params0, state0 = stacked_init(
-            model, jax.random.PRNGKey(tc.seed), m_count,
+            model, jax.random.PRNGKey(m_seed), m_count,
             total=key_total, offset=key_off,
         )
     # Mesh strategies (SURVEY §2.5):
@@ -202,7 +210,7 @@ def train_per_subject_cv(
         total_epochs=tc.max_epochs,
         batch_sharding=batch_sharding,
     )
-    fit_keys = jax.random.split(jax.random.PRNGKey(tc.seed + 1), key_total)[
+    fit_keys = jax.random.split(jax.random.PRNGKey(m_seed + 1), key_total)[
         key_off : key_off + m_count
     ]
 
@@ -350,6 +358,7 @@ def _train_grouped(
     model, tc, X, Y, subjects, n_classes, test_per_subject, save_dir,
     data_dtype, warm_start, epochs_per_segment, verbose,
     checkpoint_dir, resume, mesh_axis, group: int, checkpoint_every: int = 1,
+    model_seed: Optional[int] = None,
 ) -> CVRunResult:
     """Sequential subject-group driver for ``train_per_subject_cv`` (see
     its ``subject_group_size``): each group runs the stacked engine over
@@ -376,7 +385,7 @@ def _train_grouped(
                 if checkpoint_dir else None
             ),
             resume=resume, mesh_axis=mesh_axis,
-            checkpoint_every=checkpoint_every,
+            checkpoint_every=checkpoint_every, model_seed=model_seed,
             # global key indexing: same per-model keys as the ungrouped run
             _key_block=(g0 * k, s_total * k),
         )

@@ -489,6 +489,19 @@ def _jitted_predict(apply_fn: Callable) -> Callable:
     return cache["predict"]
 
 
+def _jitted_proba(apply_fn: Callable) -> Callable:
+    cache = _per_apply_cache(apply_fn)
+    if "proba" not in cache:
+
+        @jax.jit
+        def batch_proba(params, mstate, x):
+            logits, _ = apply_fn(params, mstate, x, train=False, rng=None)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        cache["proba"] = batch_proba
+    return cache["proba"]
+
+
 def evaluate(
     apply_fn: Callable,
     params,
@@ -530,3 +543,22 @@ def predict(
         x = jnp.take(X, jnp.asarray(idx[i]), axis=0)
         preds.append(np.asarray(batch_pred(params, mstate, x)))
     return np.concatenate(preds)[:n]
+
+
+def predict_proba(
+    apply_fn: Callable, params, mstate, X: jnp.ndarray, batch_size: int = 64
+) -> np.ndarray:
+    """Class posteriors ``(N, n_classes)`` over a dataset (f32 softmax).
+
+    The probabilistic sibling of :func:`predict` — the unit of
+    soft-voting ensembles (``train.ensemble``), which average these
+    posteriors across independently trained members before the argmax.
+    """
+    n = X.shape[0]
+    idx, _ = sequential_batch_indices(n, batch_size)
+    batch_proba = _jitted_proba(apply_fn)
+    probs = []
+    for i in range(idx.shape[0]):
+        x = jnp.take(X, jnp.asarray(idx[i]), axis=0)
+        probs.append(np.asarray(batch_proba(params, mstate, x)))
+    return np.concatenate(probs)[:n]
