@@ -46,6 +46,18 @@ def enable_persistent_cache(
         return existing
     if base is None:
         base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # For a pip-installed package the parent is site-packages —
+        # creating/pruning cache dirs there pollutes the install tree
+        # (or silently degrades to no cache on a read-only install,
+        # reintroducing the multi-minute cold Mosaic compile). Use the
+        # user cache instead; a repo checkout (this file's parent has
+        # the bench/entry markers) keeps the repo-local dir.
+        if not os.path.exists(os.path.join(base, "bench.py")):
+            base = os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "imagined_speech_decoding_tpu",
+            )
+            os.makedirs(base, exist_ok=True)
     path = salted_cache_dir(base, prefix)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)

@@ -102,9 +102,6 @@ def process_results(
 
 
 def main(argv=None):
-    from imagined_speech_decoding_tpu.cli import enable_cache
-
-    enable_cache()  # the t-test/metric math below runs jitted jnp code
     p = argparse.ArgumentParser(description="Aggregate benchmark metrics")
     p.add_argument("--results_dir", type=str, default="results/finetune_official")
     p.add_argument("--models", type=str, nargs="*", default=None,
@@ -112,6 +109,9 @@ def main(argv=None):
     p.add_argument("--n_classes", type=int, default=5)
     p.add_argument("--chance", type=float, default=0.2)
     args = p.parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()  # the t-test/metric math below runs jitted jnp code
 
     models = args.models or [
         os.path.basename(d)

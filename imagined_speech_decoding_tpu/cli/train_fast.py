@@ -112,7 +112,13 @@ def load_data(args):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.ensemble > 1 and args.loso_pretrain:
+        # A shared warm start would collapse the members' init diversity
+        # (the whole point of the seed ensemble). Fail at parse time —
+        # the LOSO pretrain alone can cost hours of device time.
+        parser.error("--ensemble is incompatible with --loso-pretrain")
     from imagined_speech_decoding_tpu.cli import enable_cache
 
     enable_cache()

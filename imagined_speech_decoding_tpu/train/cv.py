@@ -268,64 +268,70 @@ def train_per_subject_cv(
     plot_pool = ThreadPoolExecutor(max_workers=8) if save_dir else None
     plot_futures = []
 
-    for si, sid in enumerate(subjects):
-        fold_ms = [si * k + ki for ki in range(k)]
-        fold_accs = best_val[fold_ms]
-        best_k = int(np.argmax(fold_accs))
-        best_m = fold_ms[best_k]
-        best_fold_per_subject[sid] = best_k
+    try:
+        for si, sid in enumerate(subjects):
+            fold_ms = [si * k + ki for ki in range(k)]
+            fold_accs = best_val[fold_ms]
+            best_k = int(np.argmax(fold_accs))
+            best_m = fold_ms[best_k]
+            best_fold_per_subject[sid] = best_k
 
-        if save_dir:
-            sub_dir = os.path.join(save_dir, f"sub-{sid}")
-            for ki, mi in enumerate(fold_ms):
-                h = {name: history[name][mi] for name in ("loss", "acc", "val_loss", "val_acc")}
-                artifacts.save_history_csv(os.path.join(sub_dir, f"fold-{ki}_history.csv"), h)
-                plot_futures.append(plot_pool.submit(
-                    artifacts.plot_learning_curves,
-                    os.path.join(sub_dir, f"fold-{ki}_curves.png"), h,
-                    f"Subject {sid} Fold {ki + 1}",
-                ))
-            pd.DataFrame(
-                {"Fold": list(range(k)), "Best_Val_Acc": fold_accs}
-            ).to_csv(os.path.join(sub_dir, "fold_metrics.csv"), index=False)
-
-        best_params = select_model(res.best_params, best_m)
-        best_mstate = select_model(res.best_model_state, best_m)
-        if save_dir:
-            # params + mutable state (BN running stats) — like a torch
-            # state_dict, whose buffers ride along with the weights.
-            save_model_npz(
-                os.path.join(save_dir, f"sub-{sid}", "best_subject.npz"),
-                best_params, best_mstate,
-            )
-
-        test_acc, test_f1 = np.nan, np.nan
-        if test_per_subject and sid in test_per_subject:
-            x_test, y_test = test_per_subject[sid]
-            y_pred = predict(model.apply, best_params, best_mstate, jnp.asarray(x_test), tc.batch_size)
-            cm = confusion_matrix(jnp.asarray(y_pred), jnp.asarray(y_test.astype(np.int32)), n_classes)
-            test_acc = float(np.trace(np.asarray(cm)) / max(len(y_test), 1))
-            test_f1 = float(f1_from_confusion(cm))
-            global_pred.append(y_pred)
-            global_true.append(y_test.astype(int))
             if save_dir:
-                artifacts.save_predictions_csv(
-                    os.path.join(save_dir, f"sub-{sid}", "test_predictions.csv"),
-                    y_pred, y_test.astype(int),
+                sub_dir = os.path.join(save_dir, f"sub-{sid}")
+                for ki, mi in enumerate(fold_ms):
+                    h = {name: history[name][mi] for name in ("loss", "acc", "val_loss", "val_acc")}
+                    artifacts.save_history_csv(os.path.join(sub_dir, f"fold-{ki}_history.csv"), h)
+                    plot_futures.append(plot_pool.submit(
+                        artifacts.plot_learning_curves,
+                        os.path.join(sub_dir, f"fold-{ki}_curves.png"), h,
+                        f"Subject {sid} Fold {ki + 1}",
+                    ))
+                pd.DataFrame(
+                    {"Fold": list(range(k)), "Best_Val_Acc": fold_accs}
+                ).to_csv(os.path.join(sub_dir, "fold_metrics.csv"), index=False)
+
+            best_params = select_model(res.best_params, best_m)
+            best_mstate = select_model(res.best_model_state, best_m)
+            if save_dir:
+                # params + mutable state (BN running stats) — like a torch
+                # state_dict, whose buffers ride along with the weights.
+                save_model_npz(
+                    os.path.join(save_dir, f"sub-{sid}", "best_subject.npz"),
+                    best_params, best_mstate,
                 )
-        if verbose:
-            print(
-                f"Subject {sid}: best fold {best_k + 1} val_acc={fold_accs[best_k]:.4f}"
-                + (f" | test acc={green(f'{test_acc:.4f}')} f1={test_f1:.4f}"
-                   if not np.isnan(test_acc) else "")
-            )
 
-        subject_rows.append([sid, float(fold_accs[best_k]), test_acc, test_f1])
+            test_acc, test_f1 = np.nan, np.nan
+            if test_per_subject and sid in test_per_subject:
+                x_test, y_test = test_per_subject[sid]
+                y_pred = predict(model.apply, best_params, best_mstate, jnp.asarray(x_test), tc.batch_size)
+                cm = confusion_matrix(jnp.asarray(y_pred), jnp.asarray(y_test.astype(np.int32)), n_classes)
+                test_acc = float(np.trace(np.asarray(cm)) / max(len(y_test), 1))
+                test_f1 = float(f1_from_confusion(cm))
+                global_pred.append(y_pred)
+                global_true.append(y_test.astype(int))
+                if save_dir:
+                    artifacts.save_predictions_csv(
+                        os.path.join(save_dir, f"sub-{sid}", "test_predictions.csv"),
+                        y_pred, y_test.astype(int),
+                    )
+            if verbose:
+                print(
+                    f"Subject {sid}: best fold {best_k + 1} val_acc={fold_accs[best_k]:.4f}"
+                    + (f" | test acc={green(f'{test_acc:.4f}')} f1={test_f1:.4f}"
+                       if not np.isnan(test_acc) else "")
+                )
 
-    if plot_pool is not None:
+            subject_rows.append([sid, float(fold_accs[best_k]), test_acc, test_f1])
+
         for f in plot_futures:
             f.result()  # propagate any render failure
-        plot_pool.shutdown()
+    finally:
+        # On an exception mid-loop (e.g. a device eval failing),
+        # cancel queued renders and join running ones so worker
+        # threads don't bury the original traceback behind
+        # concurrent matplotlib work.
+        if plot_pool is not None:
+            plot_pool.shutdown(wait=True, cancel_futures=True)
 
     summary = pd.DataFrame(
         subject_rows, columns=["Subject", "Best_Val_Acc", "Test_Acc", "Test_F1"]
