@@ -32,3 +32,4 @@ global_explain = _wrap("global_explain")
 artifact_analysis = _wrap("artifact_analysis")
 svm_baseline = _wrap("svm_baseline")
 zero_shot = _wrap("zero_shot")
+export_decoder = _wrap("export_decoder")

@@ -26,6 +26,43 @@ from .config import FASTConfig
 from .data.constants import SFREQ
 
 
+def _build_decode_fn(
+    apply_fn: Callable,
+    sfreq: float,
+    notch_hz: Optional[float],
+    band: Optional[Tuple[float, float]],
+    use_pallas: Optional[bool],
+) -> Callable:
+    """The serving chain as a pure ``(params, state, x) -> posteriors``
+    function: notch + band-pass zero-phase IIR, model forward, softmax.
+    Shared by the live decoder and the AOT export path."""
+    from scipy.signal import tf2sos
+
+    from .ops.filters import butter_sos, notch_ba, sosfiltfilt
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .ops.pallas import sosfiltfilt_pallas as _sff
+    else:
+        _sff = sosfiltfilt
+
+    # Both stages run as SOS cascades through one backend: the notch's
+    # (b, a) pair converts exactly to a single second-order section.
+    notch_sos = tf2sos(*notch_ba(sfreq, notch_hz)) if notch_hz else None
+    sos = butter_sos(sfreq, band[0], band[1]) if band else None
+
+    def _decode(p, s, x):
+        if notch_sos is not None:
+            x = _sff(notch_sos, x)
+        if sos is not None:
+            x = _sff(sos, x)
+        logits, _ = apply_fn(p, s, x, train=False, rng=None)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return _decode
+
+
 def make_online_decoder(
     apply_fn: Callable,
     params,
@@ -54,29 +91,7 @@ def make_online_decoder(
     ``lax.scan`` path. Default: Pallas on TPU, scan elsewhere (the
     kernel only lowers on TPU).
     """
-    from scipy.signal import tf2sos
-
-    from .ops.filters import butter_sos, notch_ba, sosfiltfilt
-
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from .ops.pallas import sosfiltfilt_pallas as _sff
-    else:
-        _sff = sosfiltfilt
-
-    # Both stages run as SOS cascades through one backend: the notch's
-    # (b, a) pair converts exactly to a single second-order section.
-    notch_sos = tf2sos(*notch_ba(sfreq, notch_hz)) if notch_hz else None
-    sos = butter_sos(sfreq, band[0], band[1]) if band else None
-
-    def _decode(p, s, x):
-        if notch_sos is not None:
-            x = _sff(notch_sos, x)
-        if sos is not None:
-            x = _sff(sos, x)
-        logits, _ = apply_fn(p, s, x, train=False, rng=None)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    _decode = _build_decode_fn(apply_fn, sfreq, notch_hz, band, use_pallas)
 
     if weights_as_constants:
         fn = jax.jit(
@@ -182,6 +197,73 @@ class StreamingDecoder:
     def close(self) -> None:
         if self._ring is not None:
             self._ring.close()
+
+
+def export_decoder_artifact(
+    path: str,
+    apply_fn: Callable,
+    params,
+    state,
+    *,
+    n_channels: int,
+    seq_len: int,
+    sfreq: float = SFREQ,
+    notch_hz: Optional[float] = 60.0,
+    band: Optional[Tuple[float, float]] = (4.0, 40.0),
+    batch_size: Optional[int] = None,
+    platforms: Tuple[str, ...] = ("tpu", "cpu"),
+) -> str:
+    """AOT-export the full serving chain to a self-contained artifact.
+
+    Serializes the raw-window → posterior graph (filters + model forward
+    + softmax, weights baked in as constants) via ``jax.export`` to
+    portable StableHLO bytes at ``path``. The artifact needs NO Python
+    model code to serve — only jax — so deployment ships one file:
+
+        from imagined_speech_decoding_tpu.serving import load_decoder_artifact
+        decode = load_decoder_artifact("decoder.stablehlo")
+        posteriors = decode(raw)           # (B, C, T) f32 -> (B, K)
+
+    ``batch_size=None`` exports a symbolic batch dimension — one
+    artifact serves any B. ``platforms`` lowers the same graph for every
+    listed backend (default TPU + CPU, so the artifact runs both on the
+    serving chip and in CPU CI). The IIR stages use the ``lax.scan``
+    path rather than the Pallas kernel: Pallas lowers to a
+    backend-specific custom call that would pin the artifact to one
+    platform, and serving compute is sub-millisecond either way
+    (docs/PERFORMANCE.md, "Online-decode latency anatomy").
+
+    Replaces what the reference leaves to pickle/state_dict + Python
+    model code at serving time (``scripts/explain_fast.py:32-54``'s
+    load-model dance) with a single compiled, versioned artifact.
+    """
+    from jax import export as jax_export
+
+    _decode = _build_decode_fn(apply_fn, sfreq, notch_hz, band, use_pallas=False)
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    spec = jax.ShapeDtypeStruct((b, n_channels, seq_len), jnp.float32)
+    exported = jax_export.export(
+        jax.jit(lambda x: _decode(params, state, x)), platforms=list(platforms)
+    )(spec)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
+def load_decoder_artifact(path: str) -> Callable:
+    """Load a ``export_decoder_artifact`` file into a jitted callable.
+
+    Returns ``decode(x (B, C, T) f32) -> posteriors (B, K)``. The
+    deserialized graph re-jits on first call for the local backend (one
+    of the platforms the artifact was exported for)."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return jax.jit(exported.call)
 
 
 def export_decoder_weights(path: str, params, state) -> str:
