@@ -33,3 +33,4 @@ artifact_analysis = _wrap("artifact_analysis")
 svm_baseline = _wrap("svm_baseline")
 zero_shot = _wrap("zero_shot")
 export_decoder = _wrap("export_decoder")
+serve = _wrap("serve")

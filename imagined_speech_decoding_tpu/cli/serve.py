@@ -1,0 +1,122 @@
+"""Serve a trained decoder over TCP (``isd-serve``).
+
+Two sources:
+
+  * ``--artifact decoder.stablehlo`` — the AOT export from
+    ``isd-export-decoder``: immutable, needs no config, serves the exact
+    compiled graph (filters + FAST + softmax, weights baked in);
+  * ``--checkpoint best_subject.npz --config cfg.yaml`` — live weights
+    through ``serving.make_online_decoder``: clients may hot-swap a new
+    checkpoint with a RELOAD request (no recompile).
+
+    isd-serve --artifact decoder.stablehlo --port 9333
+    isd-serve --checkpoint results/FAST/sub-01/best_subject.npz --port 9333
+
+Protocol and client: ``imagined_speech_decoding_tpu.server``
+(``DecoderClient``). The reference has no deployment path — models are
+re-instantiated from ``state_dict`` files inside each consumer script
+(``/root/reference/scripts/explain_fast.py:32-54``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Serve a decoder over TCP")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--artifact", type=str, help="StableHLO file from isd-export-decoder")
+    src.add_argument("--checkpoint", type=str,
+                     help="best_subject.npz (live mode; supports RELOAD)")
+    p.add_argument("--config", type=str, default="configs/default.yaml",
+                   help="model config YAML (live mode)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=9333, help="0 picks a free port")
+    p.add_argument("--notch", type=float, default=60.0,
+                   help="live mode: notch Hz; 0 disables")
+    p.add_argument("--band", type=float, nargs=2, default=[4.0, 40.0],
+                   metavar=("LO", "HI"), help="live mode: band edges; 0 0 disables")
+    p.add_argument("--max-requests", type=int, default=None,
+                   help="exit after N decode requests (smoke tests)")
+    return p
+
+
+def build_server(args):
+    """Construct the (unstarted) ``DecoderServer`` for ``args``."""
+    from imagined_speech_decoding_tpu.server import DecoderServer, artifact_meta
+
+    if args.artifact:
+        from jax import export as jax_export
+
+        import jax
+
+        with open(args.artifact, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        meta = artifact_meta(exported)
+        return DecoderServer(
+            jax.jit(exported.call),
+            host=args.host, port=args.port,
+            info_extra={"source": os.path.abspath(args.artifact), "mode": "artifact"},
+            max_requests=args.max_requests,
+            **meta,
+        )
+
+    import jax
+
+    from imagined_speech_decoding_tpu.config import load_config
+    from imagined_speech_decoding_tpu.models.api import make_fast_model
+    from imagined_speech_decoding_tpu.serving import make_online_decoder
+    from imagined_speech_decoding_tpu.train.checkpoint import load_model_npz
+
+    cfg = load_config(args.config if os.path.exists(args.config) else None).model
+    model = make_fast_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state, _ = load_model_npz(args.checkpoint, params, state)
+    band = tuple(args.band) if args.band and args.band[0] > 0 else None
+    decode = make_online_decoder(
+        model.apply, params, state, notch_hz=args.notch or None, band=band
+    )
+
+    def reload_weights(path: str) -> None:
+        p0, s0 = model.init(jax.random.PRNGKey(0))
+        p, s, _ = load_model_npz(path, p0, s0)
+        decode.swap_weights(p, s)
+
+    return DecoderServer(
+        decode,
+        n_channels=cfg.n_channels, seq_len=cfg.seq_len, n_classes=cfg.n_classes,
+        host=args.host, port=args.port,
+        reload_fn=reload_weights,
+        info_extra={"source": os.path.abspath(args.checkpoint), "mode": "live"},
+        max_requests=args.max_requests,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from imagined_speech_decoding_tpu.cli import enable_cache
+
+    enable_cache()
+    server = build_server(args)
+    host, port = server.address
+    meta = server.info
+    print(
+        f"serving {meta['mode']} decoder on {host}:{port} — "
+        f"({meta['n_channels']}, {meta['seq_len']}) f32 windows -> "
+        f"{meta['n_classes']} posteriors"
+        + (" (reloadable)" if meta["reloadable"] else ""),
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    return server
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Serving-daemon tests: wire protocol, live + artifact modes, hot
+reload, error paths, concurrent clients."""
+
+import os
+import socket
+import struct
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from imagined_speech_decoding_tpu.models.api import make_fast_model
+from imagined_speech_decoding_tpu.server import (
+    MAGIC,
+    MSG_DECODE,
+    RSP_ERR,
+    DecoderClient,
+    DecoderServer,
+    _HDR,
+    _recv_frame,
+    artifact_meta,
+)
+from imagined_speech_decoding_tpu.serving import (
+    export_decoder_artifact,
+    load_decoder_artifact,
+    make_online_decoder,
+)
+from imagined_speech_decoding_tpu.train.checkpoint import load_model_npz, save_model_npz
+
+
+@pytest.fixture(scope="module")
+def served_model(request):
+    cfg = request.getfixturevalue("small_config")
+    model = make_fast_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dec = make_online_decoder(
+        model.apply, params, state, sfreq=100.0, notch_hz=25.0, band=(2.0, 30.0)
+    )
+    return cfg, model, params, state, dec
+
+
+def _make_server(cfg, dec, **kw):
+    return DecoderServer(
+        dec,
+        n_channels=cfg.n_channels,
+        seq_len=cfg.seq_len,
+        n_classes=cfg.n_classes,
+        port=0,
+        **kw,
+    )
+
+
+class TestLiveServer:
+    def test_decode_matches_direct(self, served_model, dummy_eeg_small):
+        cfg, _, _, _, dec = served_model
+        direct = np.asarray(dec(dummy_eeg_small))
+        with _make_server(cfg, dec) as srv:
+            with DecoderClient(*srv.address) as c:
+                out = c.decode(dummy_eeg_small)
+        np.testing.assert_array_equal(out, direct)
+
+    def test_many_requests_one_connection(self, served_model, dummy_eeg_small):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec) as srv:
+            with DecoderClient(*srv.address) as c:
+                for i in range(4):
+                    out = c.decode(dummy_eeg_small[i : i + 2])
+                    assert out.shape == (2, cfg.n_classes)
+            assert srv.requests_served == 4
+
+    def test_info(self, served_model):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec, info_extra={"mode": "live"}) as srv:
+            with DecoderClient(*srv.address) as c:
+                info = c.info()
+        assert info["n_channels"] == cfg.n_channels
+        assert info["seq_len"] == cfg.seq_len
+        assert info["n_classes"] == cfg.n_classes
+        assert info["mode"] == "live"
+        assert info["reloadable"] is False
+
+    def test_hot_reload(self, served_model, dummy_eeg_small, tmp_path):
+        cfg, model, params, state, _ = served_model
+        # independent weights so decode output provably changes
+        params2, state2 = model.init(jax.random.PRNGKey(7))
+        ckpt = save_model_npz(str(tmp_path / "w2.npz"), params2, state2)
+        dec = make_online_decoder(model.apply, params, state, notch_hz=None, band=None)
+        expect2 = np.asarray(
+            make_online_decoder(model.apply, params2, state2, notch_hz=None, band=None)(
+                dummy_eeg_small
+            )
+        )
+
+        def reload_fn(path):
+            p0, s0 = model.init(jax.random.PRNGKey(0))
+            p, s, _ = load_model_npz(path, p0, s0)
+            dec.swap_weights(p, s)
+
+        with _make_server(cfg, dec, reload_fn=reload_fn) as srv:
+            with DecoderClient(*srv.address) as c:
+                before = c.decode(dummy_eeg_small)
+                c.reload(ckpt)
+                after = c.decode(dummy_eeg_small)
+        assert not np.allclose(before, after)
+        np.testing.assert_array_equal(after, expect2)
+
+    def test_reload_rejected_without_reload_fn(self, served_model):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec) as srv:
+            with DecoderClient(*srv.address) as c:
+                with pytest.raises(RuntimeError, match="immutable"):
+                    c.reload("/nonexistent.npz")
+
+    def test_wrong_shape_reports_error_and_survives(self, served_model, dummy_eeg_small):
+        cfg, _, _, _, dec = served_model
+        bad = np.zeros((2, cfg.n_channels + 1, cfg.seq_len), np.float32)
+        with _make_server(cfg, dec) as srv:
+            with DecoderClient(*srv.address) as c:
+                with pytest.raises(RuntimeError, match="does not match"):
+                    c.decode(bad)
+                # connection stays usable after an application error
+                out = c.decode(dummy_eeg_small)
+                assert out.shape == (dummy_eeg_small.shape[0], cfg.n_classes)
+
+    def test_truncated_decode_payload(self, served_model):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec) as srv:
+            with socket.create_connection(srv.address, timeout=10) as s:
+                # claims (B,C,T) needing data but sends only the dims
+                payload = struct.pack("<III", 1, cfg.n_channels, cfg.seq_len)
+                s.sendall(_HDR.pack(MAGIC, MSG_DECODE, len(payload)) + payload)
+                rsp, data = _recv_frame(s)
+        assert rsp == RSP_ERR
+        assert b"DECODE length" in data
+
+    def test_bad_magic_drops_connection(self, served_model):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec) as srv:
+            with socket.create_connection(srv.address, timeout=10) as s:
+                s.sendall(_HDR.pack(b"NOPE", MSG_DECODE, 0))
+                rsp, data = _recv_frame(s)
+                assert rsp == RSP_ERR and b"magic" in data
+                # server closed the connection (frame sync is lost)
+                assert s.recv(1) == b""
+
+    def test_concurrent_clients(self, served_model, dummy_eeg_small):
+        cfg, _, _, _, dec = served_model
+        direct = np.asarray(dec(dummy_eeg_small))
+        results, errs = {}, []
+
+        def worker(i):
+            try:
+                with DecoderClient(*srv.address) as c:
+                    results[i] = c.decode(dummy_eeg_small)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        with _make_server(cfg, dec) as srv:
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+            [t.start() for t in threads]
+            [t.join(timeout=30) for t in threads]
+        assert not errs
+        for out in results.values():
+            np.testing.assert_array_equal(out, direct)
+
+    def test_shutdown_via_client(self, served_model):
+        cfg, _, _, _, dec = served_model
+        srv = _make_server(cfg, dec)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        with DecoderClient(*srv.address) as c:
+            c.shutdown_server()
+        t.join(timeout=10)
+        assert not t.is_alive()
+        srv.shutdown()
+
+
+class TestArtifactServer:
+    def test_serve_exported_artifact(self, served_model, dummy_eeg_small, tmp_path):
+        cfg, model, params, state, _ = served_model
+        path = str(tmp_path / "dec.stablehlo")
+        export_decoder_artifact(
+            path, model.apply, params, state,
+            n_channels=cfg.n_channels, seq_len=cfg.seq_len,
+            sfreq=100.0, notch_hz=25.0, band=(2.0, 30.0), platforms=("cpu",),
+        )
+        decode = load_decoder_artifact(path)
+        direct = np.asarray(decode(dummy_eeg_small))
+
+        from jax import export as jax_export
+
+        with open(path, "rb") as f:
+            meta = artifact_meta(jax_export.deserialize(f.read()))
+        assert meta == {
+            "n_channels": cfg.n_channels,
+            "seq_len": cfg.seq_len,
+            "n_classes": cfg.n_classes,
+        }
+        with DecoderServer(decode, port=0, **meta) as srv:
+            with DecoderClient(*srv.address) as c:
+                out = c.decode(dummy_eeg_small)
+        np.testing.assert_array_equal(out, direct)
+
+
+class TestServeCLI:
+    def test_build_server_live_and_max_requests(
+        self, served_model, dummy_eeg_small, tmp_path
+    ):
+        from imagined_speech_decoding_tpu.cli.serve import build_parser, build_server
+
+        import yaml
+
+        cfg, model, params, state, _ = served_model
+        ckpt = save_model_npz(str(tmp_path / "best.npz"), params, state)
+        cfg_yaml = tmp_path / "cfg.yaml"
+        cfg_yaml.write_text(
+            yaml.safe_dump(
+                {
+                    "model": {
+                        "electrodes": list(cfg.electrodes),
+                        "zone_dict": {k: list(v) for k, v in cfg.zone_dict.items()},
+                        "dim_cnn": cfg.dim_cnn, "dim_token": cfg.dim_token,
+                        "seq_len": cfg.seq_len, "window_len": cfg.window_len,
+                        "slide_step": cfg.slide_step, "num_layers": cfg.num_layers,
+                        "num_heads": cfg.num_heads, "dropout": cfg.dropout,
+                    }
+                }
+            )
+        )
+        args = build_parser().parse_args(
+            ["--checkpoint", ckpt, "--config", str(cfg_yaml), "--port", "0",
+             "--notch", "0", "--band", "0", "0", "--max-requests", "2"]
+        )
+        srv = build_server(args)
+        assert srv.info["mode"] == "live" and srv.info["reloadable"]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        expect = np.asarray(
+            make_online_decoder(model.apply, params, state, notch_hz=None, band=None)(
+                dummy_eeg_small
+            )
+        )
+        with DecoderClient(*srv.address) as c:
+            # rtol covers executable-level skew: the persistent XLA:CPU
+            # cache may serve an AOT entry compiled on a different host
+            # whose codegen orders fused FP math differently.
+            np.testing.assert_allclose(
+                c.decode(dummy_eeg_small), expect, rtol=2e-3, atol=1e-5
+            )
+            c.decode(dummy_eeg_small)  # request #2 triggers max-requests exit
+        t.join(timeout=10)
+        assert not t.is_alive()
+        srv.shutdown()
