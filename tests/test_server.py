@@ -203,6 +203,98 @@ class TestArtifactServer:
         np.testing.assert_array_equal(out, direct)
 
 
+def _isd_client_bin():
+    """Path to the compiled native C client, building on demand; None
+    when no C toolchain is available."""
+    import subprocess
+
+    from imagined_speech_decoding_tpu._native import native_dir
+
+    path = os.path.join(native_dir(), "isd_client")
+    if not os.path.exists(path):
+        try:
+            subprocess.run(
+                ["sh", os.path.join(native_dir(), "build.sh")],
+                check=True, capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    return path if os.path.exists(path) else None
+
+
+class TestNativeCClient:
+    """The dependency-free-protocol claim, proven: ``native/isd_client.c``
+    (plain C99 + POSIX sockets) speaks ISD1 against a live server."""
+
+    @pytest.fixture(scope="class")
+    def stub_server(self):
+        # numpy stub decoder — exercises the wire + server machinery
+        # without any device compile; output depends on the input so a
+        # byte-order or framing bug in the C client shows up as a
+        # numerical mismatch, not just a crash.
+        rng = np.random.default_rng(3)
+        w = rng.standard_normal((8 * 20, 5)).astype(np.float32)
+
+        def decode(x):
+            z = x.reshape(x.shape[0], -1)[:, : w.shape[0]] @ w
+            e = np.exp(z - z.max(axis=1, keepdims=True))
+            return e / e.sum(axis=1, keepdims=True)
+
+        with DecoderServer(decode, n_channels=8, seq_len=20, n_classes=5) as srv:
+            yield srv, decode
+
+    @pytest.fixture(scope="class")
+    def client_bin(self):
+        path = _isd_client_bin()
+        if path is None:
+            pytest.skip("no C toolchain for isd_client")
+        return path
+
+    def _run(self, client_bin, srv, *args, stdin=None):
+        import subprocess
+
+        host, port = srv.address
+        return subprocess.run(
+            [client_bin, host, str(port), *args],
+            input=stdin, capture_output=True, timeout=60,
+        )
+
+    def test_info(self, stub_server, client_bin):
+        import json
+
+        srv, _ = stub_server
+        r = self._run(client_bin, srv, "info")
+        assert r.returncode == 0, r.stderr
+        assert json.loads(r.stdout) == srv.info
+
+    def test_decode_matches_stub(self, stub_server, client_bin):
+        srv, decode = stub_server
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((3, 8, 20)).astype("<f4")
+        r = self._run(client_bin, srv, "decode", "3", "8", "20", stdin=x.tobytes())
+        assert r.returncode == 0, r.stderr
+        got = np.array(
+            [[float(v) for v in line.split()] for line in r.stdout.decode().splitlines()]
+        )
+        np.testing.assert_allclose(got, decode(x), rtol=1e-5, atol=1e-6)
+
+    def test_server_error_reaches_c_client(self, stub_server, client_bin):
+        srv, _ = stub_server
+        x = np.zeros((1, 4, 4), "<f4")  # wrong geometry
+        r = self._run(client_bin, srv, "decode", "1", "4", "4", stdin=x.tobytes())
+        assert r.returncode == 2
+        assert b"does not match" in r.stderr
+
+    def test_shutdown(self, client_bin):
+        with DecoderServer(
+            lambda x: np.zeros((x.shape[0], 5), np.float32),
+            n_channels=8, seq_len=20, n_classes=5,
+        ) as srv:
+            r = self._run(client_bin, srv, "shutdown")
+            assert r.returncode == 0, r.stderr
+            assert b"server stopped" in r.stdout
+
+
 class TestServeCLI:
     def test_build_server_live_and_max_requests(
         self, served_model, dummy_eeg_small, tmp_path
