@@ -7,10 +7,15 @@ Two sources:
     compiled graph (filters + FAST + softmax, weights baked in);
   * ``--checkpoint best_subject.npz --config cfg.yaml`` — live weights
     through ``serving.make_online_decoder``: clients may hot-swap a new
-    checkpoint with a RELOAD request (no recompile).
+    checkpoint with a RELOAD request (no recompile);
+  * ``--checkpoint-dir results/FAST`` — fleet mode: every
+    ``sub-*/best_subject.npz`` vmapped into ONE graph
+    (``serving.make_fleet_decoder``); DECODE answers the ensemble
+    soft-vote, DECODE_ALL the per-subject posteriors.
 
     isd-serve --artifact decoder.stablehlo --port 9333
     isd-serve --checkpoint results/FAST/sub-01/best_subject.npz --port 9333
+    isd-serve --checkpoint-dir results/FAST --port 9333
 
 Protocol and client: ``imagined_speech_decoding_tpu.server``
 (``DecoderClient``). The reference has no deployment path — models are
@@ -30,6 +35,10 @@ def build_parser():
     src.add_argument("--artifact", type=str, help="StableHLO file from isd-export-decoder")
     src.add_argument("--checkpoint", type=str,
                      help="best_subject.npz (live mode; supports RELOAD)")
+    src.add_argument("--checkpoint-dir", type=str,
+                     help="results dir with sub-*/best_subject.npz: serve the whole "
+                          "fleet as one vmapped graph (DECODE = ensemble soft-vote, "
+                          "DECODE_ALL = per-subject posteriors)")
     p.add_argument("--config", type=str, default="configs/default.yaml",
                    help="model config YAML (live mode)")
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -72,9 +81,44 @@ def build_server(args):
 
     cfg = load_config(args.config if os.path.exists(args.config) else None).model
     model = make_fast_model(cfg)
+    band = tuple(args.band) if args.band and args.band[0] > 0 else None
+
+    if args.checkpoint_dir:
+        import glob
+
+        from imagined_speech_decoding_tpu.serving import (
+            make_fleet_decoder,
+            stack_checkpoints,
+        )
+
+        paths = sorted(
+            glob.glob(os.path.join(args.checkpoint_dir, "sub-*", "best_subject.npz"))
+        )
+        if not paths:
+            raise SystemExit(
+                f"no sub-*/best_subject.npz under {args.checkpoint_dir}"
+            )
+        params, state = stack_checkpoints(paths, model)
+        fleet = make_fleet_decoder(
+            model.apply, params, state, notch_hz=args.notch or None, band=band
+        )
+        subjects = [os.path.basename(os.path.dirname(p)) for p in paths]
+        return DecoderServer(
+            fleet.ensemble,
+            decode_all_fn=fleet,
+            n_channels=cfg.n_channels, seq_len=cfg.seq_len, n_classes=cfg.n_classes,
+            host=args.host, port=args.port,
+            info_extra={
+                "source": os.path.abspath(args.checkpoint_dir),
+                "mode": "fleet",
+                "n_models": fleet.n_models,
+                "subjects": subjects,
+            },
+            max_requests=args.max_requests,
+        )
+
     params, state = model.init(jax.random.PRNGKey(0))
     params, state, _ = load_model_npz(args.checkpoint, params, state)
-    band = tuple(args.band) if args.band and args.band[0] > 0 else None
     decode = make_online_decoder(
         model.apply, params, state, notch_hz=args.notch or None, band=band
     )
@@ -106,7 +150,8 @@ def main(argv=None):
         f"serving {meta['mode']} decoder on {host}:{port} — "
         f"({meta['n_channels']}, {meta['seq_len']}) f32 windows -> "
         f"{meta['n_classes']} posteriors"
-        + (" (reloadable)" if meta["reloadable"] else ""),
+        + (" (reloadable)" if meta["reloadable"] else "")
+        + (f" (fleet of {meta['n_models']})" if meta.get("fleet") else ""),
         flush=True,
     )
     try:

@@ -19,7 +19,14 @@ it from ~30 lines of C):
     RELOAD   0x03      payload utf-8 checkpoint path (live mode only)
                        -> 0x80 (weights hot-swapped, no recompile)
     SHUTDOWN 0x04      -> 0x80, then the server stops accepting
+    DECODE_ALL 0x05    same payload as DECODE (fleet mode only)
+                       -> 0x83 + <III (M, B, K) + M*B*K f32: every
+                       model's posteriors for the same windows
     error    0xFF      + utf-8 message (any request may fail)
+
+In fleet mode (``isd-serve --checkpoint-dir``: all subjects' best
+checkpoints vmapped into one graph) DECODE returns the fleet's
+soft-vote ensemble mean and DECODE_ALL the per-model posteriors.
 
 Connections are persistent (many requests per socket); concurrent
 clients are handled by a thread per connection with the device calls
@@ -46,9 +53,11 @@ MSG_INFO = 0x01
 MSG_DECODE = 0x02
 MSG_RELOAD = 0x03
 MSG_SHUTDOWN = 0x04
+MSG_DECODE_ALL = 0x05
 RSP_OK = 0x80
 RSP_INFO = 0x81
 RSP_DECODE = 0x82
+RSP_DECODE_ALL = 0x83
 RSP_ERR = 0xFF
 
 # One decode request is at most this many payload bytes (default allows
@@ -90,10 +99,13 @@ class DecoderServer:
     """Serve a raw-window → posterior decode function over TCP.
 
     ``decode_fn(x (B, C, T) f32) -> (B, K)`` is any in-process decoder:
-    ``serving.make_online_decoder`` (live weights, hot-swappable) or
-    ``serving.load_decoder_artifact`` (AOT StableHLO). ``reload_fn``,
-    when given, services RELOAD requests (receives the request's path
-    string); omit it for immutable artifact serving.
+    ``serving.make_online_decoder`` (live weights, hot-swappable),
+    ``serving.load_decoder_artifact`` (AOT StableHLO), or a fleet
+    ensemble (``serving.make_fleet_decoder(...).ensemble``).
+    ``reload_fn``, when given, services RELOAD requests (receives the
+    request's path string); omit it for immutable artifact serving.
+    ``decode_all_fn(x) -> (M, B, K)``, when given, services DECODE_ALL
+    (fleet mode: per-model posteriors).
 
     Use as a context manager — ``with DecoderServer(...) as srv:`` —
     which starts ``serve_forever`` on a daemon thread and tears it down
@@ -111,10 +123,12 @@ class DecoderServer:
         host: str = "127.0.0.1",
         port: int = 0,
         reload_fn: Optional[Callable[[str], None]] = None,
+        decode_all_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         info_extra: Optional[Dict] = None,
         max_requests: Optional[int] = None,
     ):
         self._decode = decode_fn
+        self._decode_all = decode_all_fn
         self._reload = reload_fn
         self._meta = {
             "protocol": MAGIC.decode(),
@@ -122,6 +136,7 @@ class DecoderServer:
             "seq_len": int(seq_len),
             "n_classes": int(n_classes),
             "reloadable": reload_fn is not None,
+            "fleet": decode_all_fn is not None,
             **(info_extra or {}),
         }
         self._lock = threading.Lock()  # serializes device access
@@ -173,32 +188,24 @@ class DecoderServer:
         if msg_type == MSG_INFO:
             _send_frame(sock, RSP_INFO, json.dumps(self._meta).encode())
             return False
-        if msg_type == MSG_DECODE:
-            if len(payload) < 12:
-                raise ProtocolError("DECODE payload shorter than its (B, C, T) header")
-            b, c, t = struct.unpack_from("<III", payload)
-            want = 12 + 4 * b * c * t
-            if len(payload) != want:
-                raise ProtocolError(
-                    f"DECODE length {len(payload)} != {want} for shape ({b}, {c}, {t})"
+        if msg_type in (MSG_DECODE, MSG_DECODE_ALL):
+            x = self._parse_windows(payload)
+            if msg_type == MSG_DECODE_ALL and self._decode_all is None:
+                raise RuntimeError(
+                    "DECODE_ALL needs fleet mode (serve with --checkpoint-dir)"
                 )
-            if (c, t) != (self._meta["n_channels"], self._meta["seq_len"]):
-                raise ValueError(
-                    f"window shape ({c}, {t}) does not match the served model's "
-                    f"({self._meta['n_channels']}, {self._meta['seq_len']})"
-                )
-            if b == 0:
-                raise ValueError("empty batch")
-            x = np.frombuffer(payload, "<f4", offset=12).reshape(b, c, t)
+            fn = self._decode_all if msg_type == MSG_DECODE_ALL else self._decode
             with self._lock:
-                post = np.asarray(self._decode(x), dtype="<f4")
+                post = np.asarray(fn(x), dtype="<f4")
                 self._served += 1
                 done = self._max_requests is not None and self._served >= self._max_requests
-            _send_frame(
-                sock,
-                RSP_DECODE,
-                struct.pack("<II", post.shape[0], post.shape[1]) + post.tobytes(),
-            )
+            if msg_type == MSG_DECODE_ALL:
+                rsp = RSP_DECODE_ALL
+                hdr = struct.pack("<III", *post.shape)
+            else:
+                rsp = RSP_DECODE
+                hdr = struct.pack("<II", *post.shape)
+            _send_frame(sock, rsp, hdr + post.tobytes())
             if done:
                 self._async_shutdown()
                 return True
@@ -218,6 +225,25 @@ class DecoderServer:
             self._async_shutdown()
             return True
         raise ProtocolError(f"unknown message type 0x{msg_type:02x}")
+
+    def _parse_windows(self, payload: bytes) -> np.ndarray:
+        """Validate a DECODE/DECODE_ALL payload into its (B, C, T) array."""
+        if len(payload) < 12:
+            raise ProtocolError("DECODE payload shorter than its (B, C, T) header")
+        b, c, t = struct.unpack_from("<III", payload)
+        want = 12 + 4 * b * c * t
+        if len(payload) != want:
+            raise ProtocolError(
+                f"DECODE length {len(payload)} != {want} for shape ({b}, {c}, {t})"
+            )
+        if (c, t) != (self._meta["n_channels"], self._meta["seq_len"]):
+            raise ValueError(
+                f"window shape ({c}, {t}) does not match the served model's "
+                f"({self._meta['n_channels']}, {self._meta['seq_len']})"
+            )
+        if b == 0:
+            raise ValueError("empty batch")
+        return np.frombuffer(payload, "<f4", offset=12).reshape(b, c, t)
 
     def _async_shutdown(self):
         # shutdown() blocks until serve_forever exits, so it must not run
@@ -286,6 +312,16 @@ class DecoderClient:
         data = self._rpc(MSG_DECODE, payload, RSP_DECODE)
         b, k = struct.unpack_from("<II", data)
         return np.frombuffer(data, "<f4", offset=8).reshape(b, k).copy()
+
+    def decode_all(self, x: np.ndarray) -> np.ndarray:
+        """Fleet mode: every served model's posteriors, ``(M, B, K)``."""
+        x = np.ascontiguousarray(x, dtype="<f4")
+        if x.ndim != 3:
+            raise ValueError(f"expected (B, C, T), got shape {x.shape}")
+        payload = struct.pack("<III", *x.shape) + x.tobytes()
+        data = self._rpc(MSG_DECODE_ALL, payload, RSP_DECODE_ALL)
+        m, b, k = struct.unpack_from("<III", data)
+        return np.frombuffer(data, "<f4", offset=12).reshape(m, b, k).copy()
 
     def reload(self, checkpoint_path: str) -> None:
         self._rpc(MSG_RELOAD, checkpoint_path.encode(), RSP_OK)

@@ -117,6 +117,88 @@ def make_online_decoder(
     return decode
 
 
+def stack_checkpoints(paths, model):
+    """Load per-model ``.npz`` checkpoints into ONE stacked pytree.
+
+    ``model`` is a ``models.api`` model whose ``init`` provides the leaf
+    templates; every checkpoint must match its geometry. Returns
+    ``(stacked_params, stacked_state)`` with a leading model axis of
+    length ``len(paths)`` on every leaf — the layout ``fit_many`` trains
+    in and ``make_fleet_decoder`` serves from.
+    """
+    from .train.checkpoint import load_model_npz
+
+    if not paths:
+        raise ValueError("stack_checkpoints needs at least one checkpoint path")
+    p0, s0 = model.init(jax.random.PRNGKey(0))
+    loaded = [load_model_npz(p, p0, s0)[:2] for p in paths]
+    stack = lambda *xs: jnp.stack([jnp.asarray(x) for x in xs])
+    params = jax.tree.map(stack, *[lp for lp, _ in loaded])
+    state = jax.tree.map(stack, *[ls for _, ls in loaded])
+    return params, state
+
+
+def make_fleet_decoder(
+    apply_fn: Callable,
+    stacked_params,
+    stacked_state,
+    *,
+    sfreq: float = SFREQ,
+    notch_hz: Optional[float] = 60.0,
+    band: Optional[Tuple[float, float]] = (4.0, 40.0),
+    use_pallas: Optional[bool] = None,
+) -> Callable:
+    """Serve a whole model fleet (e.g. all 15 subjects' best checkpoints)
+    as ONE jitted graph.
+
+    The reference deploys per-subject models one process at a time
+    (each consumer script re-instantiates one torch model,
+    ``/root/reference/scripts/explain_fast.py:32-54``); on TPU the
+    natural shape is megabatched inference: filter the raw windows ONCE,
+    then ``vmap`` the ~0.2 M-param forward over the stacked model axis —
+    M models' posteriors for the price of one preprocessing pass and one
+    dispatch.
+
+    Returns ``decode_all(x (B, C, T)) -> (M, B, K)`` with:
+
+    * ``decode_all.ensemble(x) -> (B, K)`` — soft-vote mean over the
+      fleet (the serving-side counterpart of ``train.ensemble``'s
+      soft voting), computed on device;
+    * ``decode_all.n_models`` — M;
+    * ``decode_all.swap_weights(params, state)`` — hot-swap the whole
+      stacked fleet without recompiling.
+    """
+    _decode = _build_decode_fn(apply_fn, sfreq, notch_hz, band, use_pallas)
+
+    def _all(p, s, x):
+        # filters are model-independent: run once, share across the fleet
+        return jax.vmap(lambda pi, si: _decode(pi, si, x))(p, s)
+
+    jitted_all = jax.jit(_all)
+    jitted_mean = jax.jit(lambda p, s, x: jnp.mean(_all(p, s, x), axis=0))
+    live = {
+        "params": jax.device_put(stacked_params),
+        "state": jax.device_put(stacked_state),
+    }
+
+    def decode_all(x):
+        return jitted_all(live["params"], live["state"], x)
+
+    def ensemble(x):
+        return jitted_mean(live["params"], live["state"], x)
+
+    def swap_weights(new_params, new_state):
+        live["params"] = jax.device_put(new_params)
+        live["state"] = jax.device_put(new_state)
+
+    decode_all.ensemble = ensemble
+    decode_all.swap_weights = swap_weights
+    decode_all.n_models = int(
+        jax.tree.leaves(stacked_params)[0].shape[0]
+    )
+    return decode_all
+
+
 class StreamingDecoder:
     """Fixed-latency continuous decoding over a host-side ring buffer.
 

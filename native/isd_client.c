@@ -15,6 +15,8 @@
  *       read B*C*T little-endian f32 samples from stdin (or, with no
  *       piped stdin, generate a deterministic test pattern), send one
  *       DECODE, print the (B, K) posteriors one row per line
+ *   isd_client HOST PORT decode_all B C T [<raw.f32]
+ *       fleet servers: every model's posteriors, M*B rows (model-major)
  *   isd_client HOST PORT shutdown
  *       stop the server
  *
@@ -119,7 +121,9 @@ int main(int argc, char **argv) {
     if (isd_send(fd, 0x04, NULL, 0)) return 2;
     { int rt = isd_recv(fd, &rsp, &rlen); die_if_err(rt, rsp, rlen); }
     printf("server stopped\n");
-  } else if (!strcmp(argv[3], "decode") && argc == 7) {
+  } else if ((!strcmp(argv[3], "decode") || !strcmp(argv[3], "decode_all")) &&
+             argc == 7) {
+    int fleet = argv[3][6] != '\0'; /* "decode_all" */
     uint32_t b = (uint32_t)atoi(argv[4]), c = (uint32_t)atoi(argv[5]),
              t = (uint32_t)atoi(argv[6]);
     uint32_t n = b * c * t, plen = 12 + 4 * n;
@@ -134,14 +138,16 @@ int main(int argc, char **argv) {
       fprintf(stderr, "stdin ended before %u f32 samples\n", n);
       return 1;
     }
-    if (isd_send(fd, 0x02, req, plen)) return 2;
+    if (isd_send(fd, fleet ? 0x05 : 0x02, req, plen)) return 2;
     free(req);
     { int rt = isd_recv(fd, &rsp, &rlen); die_if_err(rt, rsp, rlen); }
-    uint32_t ob, ok;
-    memcpy(&ob, rsp, 4);
-    memcpy(&ok, rsp + 4, 4);
-    float *post = (float *)(rsp + 8);
-    for (uint32_t i = 0; i < ob; i++) {
+    /* plain: <II (B, K); fleet: <III (M, B, K) — print M*B rows */
+    uint32_t om = 1, ob, ok, off = fleet ? 12 : 8;
+    if (fleet) memcpy(&om, rsp, 4);
+    memcpy(&ob, rsp + (fleet ? 4 : 0), 4);
+    memcpy(&ok, rsp + (fleet ? 8 : 4), 4);
+    float *post = (float *)(rsp + off);
+    for (uint32_t i = 0; i < om * ob; i++) {
       for (uint32_t j = 0; j < ok; j++)
         printf("%s%.6f", j ? " " : "", (double)post[i * ok + j]);
       printf("\n");

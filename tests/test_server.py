@@ -7,6 +7,7 @@ import struct
 import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -203,6 +204,130 @@ class TestArtifactServer:
         np.testing.assert_array_equal(out, direct)
 
 
+class TestFleetServer:
+    """Fleet mode: all subjects' checkpoints vmapped into one graph
+    (serving.make_fleet_decoder), DECODE = ensemble, DECODE_ALL = per-
+    model posteriors (reference deployment analogue: one torch model
+    re-instantiated per process, scripts/explain_fast.py:32-54)."""
+
+    @pytest.fixture(scope="class")
+    def fleet(self, request, tmp_path_factory):
+        cfg = request.getfixturevalue("small_config")
+        model = make_fast_model(cfg)
+        root = tmp_path_factory.mktemp("results")
+        paths, weights = [], []
+        for i in range(3):
+            p, s = model.init(jax.random.PRNGKey(100 + i))
+            d = root / f"sub-{i + 1:02d}"
+            d.mkdir()
+            paths.append(save_model_npz(str(d / "best_subject.npz"), p, s))
+            weights.append((p, s))
+        from imagined_speech_decoding_tpu.serving import (
+            make_fleet_decoder,
+            stack_checkpoints,
+        )
+
+        sp, ss = stack_checkpoints(paths, model)
+        dec = make_fleet_decoder(model.apply, sp, ss, notch_hz=None, band=None)
+        return cfg, model, str(root), weights, dec
+
+    def test_rows_match_individual_decoders(self, fleet, dummy_eeg_small):
+        cfg, model, _, weights, dec = fleet
+        alls = np.asarray(dec(dummy_eeg_small))
+        assert alls.shape == (3, dummy_eeg_small.shape[0], cfg.n_classes)
+        for i, (p, s) in enumerate(weights):
+            single = make_online_decoder(model.apply, p, s, notch_hz=None, band=None)
+            np.testing.assert_allclose(
+                alls[i], np.asarray(single(dummy_eeg_small)), rtol=1e-5, atol=1e-6
+            )
+
+    def test_ensemble_is_mean(self, fleet, dummy_eeg_small):
+        _, _, _, _, dec = fleet
+        alls = np.asarray(dec(dummy_eeg_small))
+        np.testing.assert_allclose(
+            np.asarray(dec.ensemble(dummy_eeg_small)),
+            alls.mean(axis=0),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_filtering_shared_across_fleet(self, fleet, dummy_eeg_small):
+        """With filters on, every fleet row sees identically filtered
+        input (the filter runs once, unbatched under vmap)."""
+        cfg, model, _, weights, _ = fleet
+        from imagined_speech_decoding_tpu.serving import make_fleet_decoder
+
+        sp = jax.tree.map(lambda *xs: jnp.stack(xs), *[p for p, _ in weights])
+        ss = jax.tree.map(lambda *xs: jnp.stack(xs), *[s for _, s in weights])
+        dec = make_fleet_decoder(
+            model.apply, sp, ss, sfreq=100.0, notch_hz=25.0, band=(2.0, 30.0)
+        )
+        single = make_online_decoder(
+            model.apply, *weights[1], sfreq=100.0, notch_hz=25.0, band=(2.0, 30.0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec(dummy_eeg_small))[1],
+            np.asarray(single(dummy_eeg_small)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_served_fleet_round_trip(self, fleet, dummy_eeg_small):
+        cfg, _, _, _, dec = fleet
+        with _make_server(cfg, dec.ensemble, decode_all_fn=dec) as srv:
+            assert srv.info["fleet"] is True
+            with DecoderClient(*srv.address) as c:
+                alls = c.decode_all(dummy_eeg_small)
+                mean = c.decode(dummy_eeg_small)
+        np.testing.assert_allclose(mean, alls.mean(axis=0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(alls, np.asarray(dec(dummy_eeg_small)))
+
+    def test_decode_all_rejected_without_fleet(self, served_model, dummy_eeg_small):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec) as srv:
+            assert srv.info["fleet"] is False
+            with DecoderClient(*srv.address) as c:
+                with pytest.raises(RuntimeError, match="fleet"):
+                    c.decode_all(dummy_eeg_small)
+
+    def test_cli_checkpoint_dir(self, fleet, dummy_eeg_small, tmp_path):
+        import yaml
+
+        from imagined_speech_decoding_tpu.cli.serve import build_parser, build_server
+
+        cfg, _, root, _, dec = fleet
+        cfg_yaml = tmp_path / "cfg.yaml"
+        cfg_yaml.write_text(
+            yaml.safe_dump(
+                {
+                    "model": {
+                        "electrodes": list(cfg.electrodes),
+                        "zone_dict": {k: list(v) for k, v in cfg.zone_dict.items()},
+                        "dim_cnn": cfg.dim_cnn, "dim_token": cfg.dim_token,
+                        "seq_len": cfg.seq_len, "window_len": cfg.window_len,
+                        "slide_step": cfg.slide_step, "num_layers": cfg.num_layers,
+                        "num_heads": cfg.num_heads, "dropout": cfg.dropout,
+                    }
+                }
+            )
+        )
+        args = build_parser().parse_args(
+            ["--checkpoint-dir", root, "--config", str(cfg_yaml), "--port", "0",
+             "--notch", "0", "--band", "0", "0"]
+        )
+        srv = build_server(args)
+        assert srv.info["mode"] == "fleet"
+        assert srv.info["n_models"] == 3
+        assert srv.info["subjects"] == ["sub-01", "sub-02", "sub-03"]
+        with srv:
+            with DecoderClient(*srv.address) as c:
+                alls = c.decode_all(dummy_eeg_small)
+        # rtol as in TestServeCLI: the persistent XLA:CPU cache may serve
+        # an AOT entry compiled on a different host whose codegen orders
+        # fused FP math differently than the fixture's executable.
+        np.testing.assert_allclose(
+            alls, np.asarray(dec(dummy_eeg_small)), rtol=2e-3, atol=1e-4
+        )
+
+
 def _isd_client_bin():
     """Path to the compiled native C client, building on demand; None
     when no C toolchain is available."""
@@ -284,6 +409,33 @@ class TestNativeCClient:
         r = self._run(client_bin, srv, "decode", "1", "4", "4", stdin=x.tobytes())
         assert r.returncode == 2
         assert b"does not match" in r.stderr
+
+    def test_decode_all_fleet(self, client_bin):
+        rng = np.random.default_rng(4)
+        ws = [rng.standard_normal((8 * 20, 5)).astype(np.float32) for _ in range(3)]
+
+        def one(x, w):
+            z = x.reshape(x.shape[0], -1)[:, : w.shape[0]] @ w
+            e = np.exp(z - z.max(axis=1, keepdims=True))
+            return e / e.sum(axis=1, keepdims=True)
+
+        def decode_all(x):
+            return np.stack([one(x, w) for w in ws])
+
+        x = rng.standard_normal((2, 8, 20)).astype("<f4")
+        with DecoderServer(
+            lambda v: decode_all(v).mean(axis=0),
+            decode_all_fn=decode_all,
+            n_channels=8, seq_len=20, n_classes=5,
+        ) as srv:
+            r = self._run(
+                client_bin, srv, "decode_all", "2", "8", "20", stdin=x.tobytes()
+            )
+        assert r.returncode == 0, r.stderr
+        got = np.array(
+            [[float(v) for v in line.split()] for line in r.stdout.decode().splitlines()]
+        ).reshape(3, 2, 5)
+        np.testing.assert_allclose(got, decode_all(x), rtol=1e-5, atol=1e-6)
 
     def test_shutdown(self, client_bin):
         with DecoderServer(
