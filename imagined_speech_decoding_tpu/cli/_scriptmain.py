@@ -34,3 +34,4 @@ svm_baseline = _wrap("svm_baseline")
 zero_shot = _wrap("zero_shot")
 export_decoder = _wrap("export_decoder")
 serve = _wrap("serve")
+sweep = _wrap("sweep")

@@ -21,6 +21,12 @@ from .engine import (  # noqa: F401
     predict,
     predict_proba,
 )
+from .sweep import (  # noqa: F401
+    SweepReport,
+    cv_sweep,
+    hyper_grid,
+    sweep_many,
+)
 from .checkpoint import (  # noqa: F401
     load_state_dict,
     restore_checkpoint,

@@ -95,6 +95,7 @@ def make_fit(
     batch_sharding=None,
     schedule: Optional[Callable] = None,
     eval_batch_size: Optional[int] = None,
+    sweep: bool = False,
 ) -> Callable:
     """Build the single-model fit function (jit/vmap it at the call site).
 
@@ -106,14 +107,32 @@ def make_fit(
     ``train_idx``/``val_idx`` index into the *global* trial axis of
     ``X``/``Y`` — under ``vmap`` each model gets its own index vectors
     while the corpus itself is shared (broadcast), so HBM holds one copy.
+
+    ``sweep=True`` makes the learning rate and weight decay RUNTIME
+    arguments: the returned fit gains a leading ``hyper`` argument,
+    ``{'lr_scale': c, 'wd_scale': w}`` (traced scalars), and trains with
+    effective ``lr = learning_rate * c`` and ``weight_decay =
+    weight_decay * w`` — exactly, because AdamW's update is linear in
+    the step lr (``-lr_t * (m̂/(√v̂+ε) + wd·p)``), so scaling the
+    optimizer's (wd-free) update by ``c`` and adding the decoupled-decay
+    term manually reproduces a rebuilt optimizer to float rounding
+    (``tests/test_sweep.py``). Under ``vmap`` over ``hyper`` this trains
+    a whole hyperparameter grid as ONE compiled program — see
+    ``train.sweep``.
     """
     spe = num_batches(n_train, batch_size)
     # The LR schedule spans the FULL run; under segmented execution
     # `epochs` is one segment and `total_epochs` the whole schedule
     # (optax's step counter carries across segments via opt_state).
+    if schedule is None:
+        schedule = warmup_cosine_lr(
+            learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale
+        )
+    # Sweep mode keeps the base optimizer decay-free: decay is applied
+    # manually in train_step where it can be scaled per model.
     opt = make_optimizer(
         learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale,
-        weight_decay, schedule=schedule,
+        0.0 if sweep else weight_decay, schedule=schedule,
     )
 
     # Validation batching is free to differ from the train batch size —
@@ -159,9 +178,9 @@ def make_fit(
     except (TypeError, ValueError):
         _takes_sw = False
 
-    def train_step(X, Y, carry, inp):
+    def train_step(X, Y, hyper, ep, carry, inp):
         params, mstate, opt_state = carry
-        gidx, w, key = inp
+        gidx, w, key, i = inp
         x, y = gather(X, Y, gidx)
         sw_kw = {"sample_weight": w} if _takes_sw else {}
 
@@ -171,6 +190,15 @@ def make_fit(
 
         (loss, (logits, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
+        if hyper is not None:
+            # Sweep mode (see make_fit docstring): base updates are
+            # -lr_t * adam_dir (wd-free optimizer); the effective
+            # update -c·lr_t·(adam_dir + wd'·p) is reconstructed with
+            # wd' = weight_decay * wd_scale and lr_t = schedule at this
+            # global step (= the optimizer's own count for this step).
+            c = hyper["lr_scale"]
+            wd_t = c * schedule(ep * spe + i) * (weight_decay * hyper["wd_scale"])
+            updates = jax.tree.map(lambda u, p: c * u - wd_t * p, updates, params)
         params = optax.apply_updates(params, updates)
         cm = confusion_matrix(logits, y, n_classes, w)
         return (params, new_ms, opt_state), (loss * jnp.sum(w), cm)
@@ -197,7 +225,7 @@ def make_fit(
             jnp.bool_(False),  # early-stopped flag
         )
 
-    def _run_epochs(carry, key, n_epochs, train_idx, val_idx, X, Y):
+    def _run_epochs(carry, key, n_epochs, train_idx, val_idx, X, Y, hyper=None):
         epoch_keys = jax.random.split(key, n_epochs)
 
         def epoch_fn(carry, ekey):
@@ -222,21 +250,23 @@ def make_fit(
             # equivalent, but padded-era runs are not bit-replayable).
             rem = n_train % batch_size
             n_full = spe - 1 if rem else spe
+            steps = jnp.arange(spe, dtype=jnp.int32)
+            step_fn = partial(train_step, X, Y, hyper, ep)
             carry_t = (params0_c, mstate0_c, opt_state0_c)
             if rem == 0:
                 carry_t, (losses, cms) = jax.lax.scan(
-                    partial(train_step, X, Y), carry_t, (gidx, bw, step_keys)
+                    step_fn, carry_t, (gidx, bw, step_keys, steps)
                 )
             else:
                 if n_full:
                     carry_t, (losses, cms) = jax.lax.scan(
-                        partial(train_step, X, Y),
+                        step_fn,
                         carry_t,
-                        (gidx[:n_full], bw[:n_full], step_keys[:n_full]),
+                        (gidx[:n_full], bw[:n_full], step_keys[:n_full], steps[:n_full]),
                     )
-                carry_t, (loss_t, cm_t) = train_step(
-                    X, Y, carry_t,
-                    (gidx[n_full, :rem], bw[n_full, :rem], step_keys[n_full]),
+                carry_t, (loss_t, cm_t) = step_fn(
+                    carry_t,
+                    (gidx[n_full, :rem], bw[n_full, :rem], step_keys[n_full], steps[n_full]),
                 )
                 if n_full:
                     losses = jnp.concatenate([losses, loss_t[None]])
@@ -303,16 +333,33 @@ def make_fit(
         params, mstate, _, best_params, best_ms, best_acc, best_ep, _, _ = carry
         return FitResult(params, mstate, best_params, best_ms, best_acc, best_ep, history)
 
-    def fit(key, params0, state0, train_idx, val_idx, X, Y):
-        carry = init_carry(params0, state0)
-        carry, history = _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y)
-        return _result(carry, history)
+    if sweep:
 
-    def segment(carry, key, train_idx, val_idx, X, Y):
-        """Run ``epochs`` epochs from an existing carry (see
-        ``fit_segmented``). Returns ``(carry, history)``."""
-        return _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y)
+        def fit(hyper, key, params0, state0, train_idx, val_idx, X, Y):
+            carry = init_carry(params0, state0)
+            carry, history = _run_epochs(
+                carry, key, epochs, train_idx, val_idx, X, Y, hyper
+            )
+            return _result(carry, history)
 
+        def segment(hyper, carry, key, train_idx, val_idx, X, Y):
+            """Sweep-mode segment: leading ``hyper`` argument, otherwise
+            identical to the default-mode ``segment``."""
+            return _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y, hyper)
+
+    else:
+
+        def fit(key, params0, state0, train_idx, val_idx, X, Y):
+            carry = init_carry(params0, state0)
+            carry, history = _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y)
+            return _result(carry, history)
+
+        def segment(carry, key, train_idx, val_idx, X, Y):
+            """Run ``epochs`` epochs from an existing carry (see
+            ``fit_segmented``). Returns ``(carry, history)``."""
+            return _run_epochs(carry, key, epochs, train_idx, val_idx, X, Y)
+
+    fit.sweep = sweep
     fit.init_carry = init_carry
     fit.segment = segment
     fit.result = _result
@@ -343,6 +390,7 @@ def fit_many_segmented(
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
     checkpoint_every: int = 1,
+    hyper=None,
 ) -> FitResult:
     """Segmented variant of ``fit_many``: repeatedly invokes one compiled
     ``epochs_per_call``-epoch segment, carrying (params, optimizer, best
@@ -383,9 +431,19 @@ def fit_many_segmented(
     n_segments = -(-total_epochs // seg)
 
     init = jax.vmap(fit_fn.init_carry)(params0, state0)
-    segment = jax.jit(
-        jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, None, None))
-    )
+    if getattr(fit_fn, "sweep", False):
+        # Sweep-mode fits take a leading per-model hyper dict (see
+        # make_fit(sweep=True)); it is constant across segments.
+        if hyper is None:
+            raise ValueError("sweep-mode fit_fn requires hyper={'lr_scale', 'wd_scale'}")
+        _seg = jax.jit(
+            jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, 0, None, None))
+        )
+        segment = lambda c, k, ti, vi, Xc, Yc: _seg(hyper, c, k, ti, vi, Xc, Yc)
+    else:
+        segment = jax.jit(
+            jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, None, None))
+        )
 
     carry = init
     histories = []

@@ -1,0 +1,193 @@
+"""Hyperparameter search as ONE compiled program.
+
+The reference has no sweep machinery at all — exploring a learning rate
+or weight-decay change means editing ``configs/default.yaml`` /
+CLI flags (``/root/reference/scripts/train_fast.py:269-289``) and
+re-running the whole sequential campaign once per setting. On TPU the
+natural shape is the same megabatching trick the CV engine uses for
+(subject × fold): make lr/wd *runtime* tensors (``make_fit(sweep=True)``
+— exact, see its docstring) and ``vmap`` the full training run over a
+(config × fold) model axis. A 12-point grid × 5 folds trains as 60
+simultaneous models for roughly the price of one config, because the
+~0.2 M-param model is nowhere near saturating the chip at small stacks
+(docs/PERFORMANCE.md: throughput is flat in stack size).
+
+Controlled comparison: every config shares the SAME fold splits, the
+SAME per-fold init params, and the SAME per-fold shuffle/dropout key
+stream — the only thing that differs across grid rows is the optimizer
+math, so accuracy differences are attributable to the hyperparameters
+alone (the reference cannot do this across separate runs that re-seed
+globally).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import FitResult, ModelDef, make_fit
+
+
+def hyper_grid(
+    lr_scales: Sequence[float], wd_scales: Sequence[float]
+) -> Tuple[Dict[str, jnp.ndarray], List[Tuple[float, float]]]:
+    """Cross product of scale factors as stacked runtime-hyper arrays.
+
+    Returns ``({'lr_scale': (H,), 'wd_scale': (H,)}, meta)`` with
+    ``meta[h] = (lr_scale, wd_scale)`` in row-major (lr-outer) order.
+    """
+    meta = [(float(a), float(b)) for a in lr_scales for b in wd_scales]
+    return {
+        "lr_scale": jnp.asarray([m[0] for m in meta], jnp.float32),
+        "wd_scale": jnp.asarray([m[1] for m in meta], jnp.float32),
+    }, meta
+
+
+def sweep_many(
+    fit_fn, hyper, keys, params0, state0, train_idx, val_idx, X, Y
+) -> FitResult:
+    """``fit_many`` for sweep-mode fits: vmap over (hyper, model) axis 0
+    with the corpus broadcast. ``hyper`` leaves, ``keys``, params/state
+    stacks and index arrays all share leading axis M."""
+    return jax.vmap(fit_fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+        hyper, keys, params0, state0, train_idx, val_idx, X, Y
+    )
+
+
+def _tile_models(tree, reps: int):
+    """Repeat a stacked pytree's model axis ``reps`` times (config axis
+    outer, so row ``h * F + f`` is config h, fold f)."""
+    return jax.tree.map(
+        lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), tree
+    )
+
+
+@dataclass
+class SweepReport:
+    """Result of :func:`cv_sweep` over an (lr × wd) grid with K folds."""
+
+    lr: np.ndarray  # (H,) absolute learning rates
+    wd: np.ndarray  # (H,) absolute weight decays
+    fold_val_acc: np.ndarray  # (H, F) best val acc per fold
+    mean_val_acc: np.ndarray  # (H,)
+    std_val_acc: np.ndarray  # (H,)
+    best_index: int  # argmax of mean_val_acc
+    history: Dict[str, np.ndarray]  # each (H, F, E)
+    meta: List[Tuple[float, float]]  # (lr_scale, wd_scale) per row
+
+    @property
+    def best(self) -> Dict[str, float]:
+        h = self.best_index
+        return {
+            "learning_rate": float(self.lr[h]),
+            "weight_decay": float(self.wd[h]),
+            "mean_val_acc": float(self.mean_val_acc[h]),
+            "std_val_acc": float(self.std_val_acc[h]),
+        }
+
+    def rows(self) -> List[Dict[str, float]]:
+        """Flat per-config records (for CSV export)."""
+        out = []
+        for h in range(len(self.lr)):
+            row = {
+                "learning_rate": float(self.lr[h]),
+                "weight_decay": float(self.wd[h]),
+                "mean_val_acc": float(self.mean_val_acc[h]),
+                "std_val_acc": float(self.std_val_acc[h]),
+            }
+            for f in range(self.fold_val_acc.shape[1]):
+                row[f"fold{f}_val_acc"] = float(self.fold_val_acc[h, f])
+            out.append(row)
+        return out
+
+
+def cv_sweep(
+    model: ModelDef,
+    n_classes: int,
+    X,
+    Y,
+    *,
+    n_trials: int,
+    lr_scales: Sequence[float],
+    wd_scales: Sequence[float] = (1.0,),
+    n_folds: int = 5,
+    epochs: int = 30,
+    batch_size: int = 64,
+    base_learning_rate: float = 5e-4,
+    base_weight_decay: float = 0.01,
+    warmup_epochs: int = 10,
+    seed: int = 42,
+    data_dtype=None,
+    segment_epochs: Optional[int] = None,
+) -> SweepReport:
+    """K-fold CV over an (lr × wd) grid, all configs in one program.
+
+    ``X (n_trials, C, T)`` / ``Y (n_trials,)`` is one subject's corpus
+    on device; folds are the same sklearn KFold splits the CV driver
+    uses (``cv.kfold_indices``). Absolute hyperparameters are
+    ``base_* × scale``. ``segment_epochs`` runs the sweep through the
+    segmented executor (long-scan safety; same math) instead of one
+    whole-run program.
+    """
+    # Deferred: cv pulls pandas/artifacts, which plain engine users
+    # (and `import ...train`) should not pay for.
+    from .cv import build_cv_index_stack, stacked_init
+
+    tr, va, _ = build_cv_index_stack(1, n_trials, n_folds, seed)
+    hyper1, meta = hyper_grid(lr_scales, wd_scales)
+    H, F = len(meta), n_folds
+    n_train, n_val = tr.shape[1], va.shape[1]
+
+    # One init + one key stream per FOLD, shared across all configs.
+    pf, sf = stacked_init(model, jax.random.PRNGKey(seed), F)
+    params0, state0 = _tile_models(pf, H), _tile_models(sf, H)
+    keys = _tile_models(jax.random.split(jax.random.PRNGKey(seed + 1), F), H)
+    hyper = {k: jnp.repeat(v, F) for k, v in hyper1.items()}
+    tidx = jnp.asarray(np.tile(tr, (H, 1)))
+    vidx = jnp.asarray(np.tile(va, (H, 1)))
+
+    fit = make_fit(
+        model.apply,
+        n_classes,
+        epochs=segment_epochs or epochs,
+        batch_size=batch_size,
+        n_train=n_train,
+        n_val=n_val,
+        learning_rate=base_learning_rate,
+        weight_decay=base_weight_decay,
+        warmup_epochs=warmup_epochs,
+        data_dtype=data_dtype,
+        total_epochs=epochs if segment_epochs else None,
+        sweep=True,
+    )
+    if segment_epochs:
+        from .engine import fit_many_segmented
+
+        res = fit_many_segmented(
+            fit, keys, params0, state0, tidx, vidx, X, Y,
+            total_epochs=epochs, hyper=hyper,
+        )
+    else:
+        run = jax.jit(lambda *a: sweep_many(fit, *a))
+        res = run(hyper, keys, params0, state0, tidx, vidx, X, Y)
+
+    acc = np.asarray(res.best_val_acc, np.float64).reshape(H, F)
+    history = {
+        k: np.asarray(v, np.float32).reshape(H, F, -1)
+        for k, v in res.history.items()
+    }
+    mean = acc.mean(1)
+    return SweepReport(
+        lr=np.asarray([base_learning_rate * m[0] for m in meta]),
+        wd=np.asarray([base_weight_decay * m[1] for m in meta]),
+        fold_val_acc=acc,
+        mean_val_acc=mean,
+        std_val_acc=acc.std(1),
+        best_index=int(np.argmax(mean)),
+        history=history,
+        meta=meta,
+    )
