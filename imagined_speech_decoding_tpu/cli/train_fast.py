@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_folds", type=int, default=None)
     p.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     p.add_argument("--head", type=str, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument(
+        "--hyperparams", type=str, default=None, metavar="BEST_JSON",
+        help="best.json from isd-sweep: applies its learning_rate/"
+        "weight_decay (explicit --learning_rate/--weight_decay flags win)",
+    )
     p.add_argument("--data_folder", type=str, default="BCIC2020Track3")
     p.add_argument("--excel_path", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="results/finetune_official/FAST")
@@ -78,6 +85,42 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--synthetic_trials", type=int, default=60)
     return p
+
+
+def build_overrides(args) -> dict:
+    """Flat config overrides from CLI flags, closing the sweep loop:
+    ``--hyperparams best.json`` (the winner file ``isd-sweep`` writes)
+    applies its learning_rate/weight_decay, with explicit
+    ``--learning_rate``/``--weight_decay`` flags taking precedence."""
+    sweep_hp = {}
+    if args.hyperparams:
+        import json
+
+        with open(args.hyperparams) as f:
+            best = json.load(f)
+        sweep_hp = {
+            k: best[k] for k in ("learning_rate", "weight_decay") if k in best
+        }
+        print(f"hyperparams from {args.hyperparams}: {sweep_hp}")
+
+    return {
+        k: v
+        for k, v in {
+            "max_epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "seed": args.seed,
+            "n_folds": args.n_folds,
+            "precision": args.precision,
+            "head": args.head,
+            "learning_rate": args.learning_rate or sweep_hp.get("learning_rate"),
+            "weight_decay": (
+                args.weight_decay
+                if args.weight_decay is not None
+                else sweep_hp.get("weight_decay")
+            ),
+        }.items()
+        if v is not None
+    }
 
 
 def load_data(args):
@@ -128,18 +171,7 @@ def main(argv=None):
     from imagined_speech_decoding_tpu.train.cv import train_per_subject_cv
     from imagined_speech_decoding_tpu.utils import seed_all
 
-    overrides = {
-        k: v
-        for k, v in {
-            "max_epochs": args.epochs,
-            "batch_size": args.batch_size,
-            "seed": args.seed,
-            "n_folds": args.n_folds,
-            "precision": args.precision,
-            "head": args.head,
-        }.items()
-        if v is not None
-    }
+    overrides = build_overrides(args)
     cfg = load_config(args.config if os.path.exists(args.config) else None, overrides)
     seed_all(cfg.train.seed)
     os.makedirs(args.output_dir, exist_ok=True)

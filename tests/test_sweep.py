@@ -201,3 +201,32 @@ class TestSweepCLI:
         assert os.path.exists(os.path.join(out, "sweep_heatmap.png"))
         assert os.path.exists(os.path.join(out, "best.json"))
         assert report.fold_val_acc.shape == (2, 3)
+
+    def test_train_fast_consumes_best_json(self, tmp_path):
+        """The sweep winner feeds the production CLI (--hyperparams);
+        explicit flags win over the file."""
+        import json
+
+        from imagined_speech_decoding_tpu.cli import train_fast as train_cli
+        from imagined_speech_decoding_tpu.config import load_config
+
+        best = {
+            "learning_rate": 2e-3, "weight_decay": 0.0, "mean_val_acc": 0.5,
+        }
+        path = tmp_path / "best.json"
+        path.write_text(json.dumps(best))
+
+        args = train_cli.build_parser().parse_args(["--hyperparams", str(path)])
+        ov = train_cli.build_overrides(args)
+        assert ov["learning_rate"] == 2e-3
+        assert ov["weight_decay"] == 0.0  # wd=0 from the file survives
+        cfg = load_config(None, ov)
+        assert cfg.train.learning_rate == 2e-3
+        assert cfg.train.weight_decay == 0.0
+
+        args = train_cli.build_parser().parse_args(
+            ["--hyperparams", str(path), "--learning_rate", "1e-4",
+             "--weight_decay", "0.5"]
+        )
+        ov = train_cli.build_overrides(args)
+        assert ov["learning_rate"] == 1e-4 and ov["weight_decay"] == 0.5
