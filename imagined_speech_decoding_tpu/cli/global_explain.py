@@ -109,13 +109,21 @@ def main(argv=None):
     band_meta = None  # (band_names, frame_times) from the first STFT
     pooled_n = np.zeros(cfg.n_classes)
     n_done = 0
+    any_untrained = False  # any subject plotted from demo weights
 
     for sid in subjects:
         ckpt = os.path.join(args.model_dir, f"sub-{sid}", "best_subject.npz")
         if os.path.exists(ckpt):
             params, state, _ = load_model_npz(ckpt, params0, state0)
+            stamp = ""
         elif args.synthetic:
-            params, state = params0, state0  # untrained demo weights
+            # Untrained demo weights: the plots must SAY so — attribution
+            # maps from random weights are visually indistinguishable
+            # from trained ones, and an unstamped artifact tree invites
+            # misreading them as results.
+            params, state = params0, state0
+            stamp = " [UNTRAINED]"
+            any_untrained = True
         else:
             print(f"Skipping Subject {sid}: no checkpoint at {ckpt}")
             continue
@@ -150,19 +158,19 @@ def main(argv=None):
             # ("Mean SHAP", global_shap_analysis.py:205)
             save_topomap(
                 f"{out}/{tag}_Topomap.png", avg.mean(-1), Electrodes,
-                title=f"Sub {sid}: {cname} (True Positives)",
+                title=f"Sub {sid}: {cname} (True Positives){stamp}",
             )
             zt = zone_time_matrix(avg, zl.indices, zl.mask)
             plot_zone_time_heatmap(
                 f"{out}/{tag}_ZoneMatrix.png", zt, zl.names, sfreq=SFREQ,
-                title=f"Sub {sid}: {cname} (Time x Region)",
+                title=f"Sub {sid}: {cname} (Time x Region){stamp}",
             )
             band_names, times, bands = band_stft_heatmap(
                 jnp.abs(jnp.asarray(avg)).mean(0), SFREQ, nperseg=64, noverlap=32
             )
             plot_band_heatmap(
                 f"{out}/{tag}_FreqBands.png", np.asarray(bands), band_names, times,
-                title=f"Sub {sid}: {cname}",
+                title=f"Sub {sid}: {cname}{stamp}",
             )
             n_k = int(mask.sum())
             n_plotted += n_k
@@ -182,20 +190,21 @@ def main(argv=None):
             CLASSES[k]: pooled_topo[k] / pooled_n[k]
             for k in range(cfg.n_classes) if pooled_n[k] > 0
         }
+        gstamp = " [UNTRAINED]" if any_untrained else ""
         plot_class_topomaps(
             f"{out}/group_class_topomaps.png", per_class, Electrodes,
-            title=f"Group mean attribution ({n_done} subjects)",
+            title=f"Group mean attribution ({n_done} subjects){gstamp}",
         )
         total = pooled_n.sum()
         plot_zone_time_heatmap(
             f"{out}/group_zone_time.png", pooled_zt / total, zl.names, sfreq=SFREQ,
-            title=f"Group zone x time ({n_done} subjects)",
+            title=f"Group zone x time ({n_done} subjects){gstamp}",
         )
         band_names, times = band_meta  # shape-determined constants,
         # captured from the first per-class STFT (same nperseg/noverlap)
         plot_band_heatmap(
             f"{out}/group_band_heatmap.png", pooled_band / total, band_names, times,
-            title=f"Group band energy ({n_done} subjects)",
+            title=f"Group band energy ({n_done} subjects){gstamp}",
         )
     print(f"Analysis Complete! ({n_done} subjects -> {out})")
     return out

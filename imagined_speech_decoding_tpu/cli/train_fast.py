@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
              "or both over a 2-D mesh ('2d')",
     )
     p.add_argument(
+        "--augment", action="store_true",
+        help="train-time noise + channel dropout inside the jitted train "
+        "step (ops.augment under the engine's PRNG; eval untouched)",
+    )
+    p.add_argument("--noise_sigma", type=float, default=0.1,
+                   help="augmentation noise scale (x per-trial signal std)")
+    p.add_argument("--ch_drop", type=float, default=0.1,
+                   help="augmentation per-channel dropout probability")
+    p.add_argument(
         "--ensemble", type=int, default=1, metavar="N_MEMBERS",
         help="train an N-member seed ensemble (identical folds, "
              "independent weight init/batch order) and soft-vote the "
@@ -112,7 +121,11 @@ def build_overrides(args) -> dict:
             "n_folds": args.n_folds,
             "precision": args.precision,
             "head": args.head,
-            "learning_rate": args.learning_rate or sweep_hp.get("learning_rate"),
+            "learning_rate": (
+                args.learning_rate
+                if args.learning_rate is not None
+                else sweep_hp.get("learning_rate")
+            ),
             "weight_decay": (
                 args.weight_decay
                 if args.weight_decay is not None
@@ -181,6 +194,12 @@ def main(argv=None):
         cfg.model, compute_dtype=cfg.train.compute_dtype, remat=args.remat,
         head_micro_batch=args.head_chunk,
     )
+    if args.augment:
+        from imagined_speech_decoding_tpu.models.api import make_augmented_model
+
+        model = make_augmented_model(model, args.noise_sigma, args.ch_drop)
+        print(f"augment: noise_sigma={args.noise_sigma} ch_drop={args.ch_drop} "
+              "(train step only)")
 
     warm = None
     if args.loso_pretrain:

@@ -226,11 +226,17 @@ def make_fit(
         )
 
     def _run_epochs(carry, key, n_epochs, train_idx, val_idx, X, Y, hyper=None):
-        epoch_keys = jax.random.split(key, n_epochs)
-
-        def epoch_fn(carry, ekey):
+        # Epoch keys are derived from the GLOBAL epoch counter carried
+        # across segments (fold_in(key, ep)), not pre-split per call —
+        # so a segmented run (fit.segment invoked repeatedly with the
+        # same base key) draws the exact key stream of the whole-run
+        # fit: shuffles, dropout and step keys are identical, making
+        # "segmented == whole-run" a true statement about trajectories,
+        # not just freeze semantics (tests/test_sweep.py, test_resume.py).
+        def epoch_fn(carry, _):
             (params0_c, mstate0_c, opt_state0_c, best_params, best_ms,
              best_acc, best_ep, ep, stopped) = carry
+            ekey = jax.random.fold_in(key, ep)
             kshuf, kstep = jax.random.split(ekey)
             bidx, bw = shuffled_epoch_indices(kshuf, n_train, batch_size)
             gidx = jnp.take(train_idx, bidx, axis=0)  # (spe, B) global indices
@@ -325,7 +331,7 @@ def make_fit(
                 best_acc, best_ep, ep + 1, stopped,
             ), out
 
-        carry, hist = jax.lax.scan(epoch_fn, carry, epoch_keys)
+        carry, hist = jax.lax.scan(epoch_fn, carry, None, length=n_epochs)
         history = dict(zip(["loss", "acc", "f1", "val_loss", "val_acc", "val_f1"], hist))
         return carry, history
 
@@ -476,8 +482,10 @@ def fit_many_segmented(
     for s in range(start_seg, n_segments):
         if writer_err:  # fail fast: don't burn further segments of
             _join_writer()  # device compute after a write already failed
-        seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
-        carry, hist = segment(carry, seg_keys, train_idx, val_idx, X, Y)
+        # The base keys pass through unchanged: the engine folds in the
+        # global epoch counter itself, so every segment continues the
+        # whole-run key stream exactly (see _run_epochs).
+        carry, hist = segment(carry, keys, train_idx, val_idx, X, Y)
         histories.append(hist)
         if ckpt_path and ((s + 1) % max(checkpoint_every, 1) == 0 or s + 1 == n_segments):
             jax.block_until_ready(hist)

@@ -130,7 +130,8 @@ def cv_sweep(
     on device; folds are the same sklearn KFold splits the CV driver
     uses (``cv.kfold_indices``). Absolute hyperparameters are
     ``base_* × scale``. ``segment_epochs`` runs the sweep through the
-    segmented executor (long-scan safety; same math) instead of one
+    segmented executor (long-scan safety; identical trajectories — the
+    engine derives epoch keys from the global epoch counter) instead of one
     whole-run program.
     """
     # Deferred: cv pulls pandas/artifacts, which plain engine users

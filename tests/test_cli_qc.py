@@ -82,6 +82,37 @@ class TestGlobalExplainCLI:
             p = os.path.join(run_dir, name)
             assert os.path.exists(p) and os.path.getsize(p) > 0, name
 
+    def test_untrained_demo_plots_are_stamped(self, tmp_path, monkeypatch):
+        """--synthetic with no checkpoint substitutes untrained weights;
+        every produced plot title must carry the [UNTRAINED] stamp so the
+        artifacts can't be misread as trained results."""
+        import imagined_speech_decoding_tpu.explain as explain_mod
+        from imagined_speech_decoding_tpu.cli.global_explain import main
+
+        titles = []
+
+        def capture(name):
+            orig = getattr(explain_mod, name)
+
+            def wrapped(*a, **kw):
+                titles.append(kw.get("title", ""))
+                return orig(*a, **kw)
+
+            monkeypatch.setattr(explain_mod, name, wrapped)
+
+        for fn in ("save_topomap", "plot_zone_time_heatmap",
+                   "plot_band_heatmap", "plot_class_topomaps"):
+            capture(fn)
+
+        out = str(tmp_path / "out")
+        main([
+            "--synthetic", "--n_synth_subjects", "1", "--n_bg", "6",
+            "--n_test", "8", "--n_grad_samples", "2",
+            "--model_dir", str(tmp_path / "no_models"), "--output_dir", out,
+        ])
+        assert titles, "no plots captured"
+        assert all("[UNTRAINED]" in t for t in titles), titles
+
     def test_checkpoints_loaded_when_present(self, tmp_path):
         """With a real checkpoint dir the driver loads per-subject
         weights (and still writes plots)."""

@@ -162,8 +162,9 @@ class TestEpochBudgetFreeze:
         carry = jax.vmap(fit.init_carry)(params0, state0)
         snapshots = []
         for s in range(4):  # 8 epochs attempted; budget is 5
-            seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(keys)
-            carry, _ = segment(carry, seg_keys, tidx, vidx, X, Y)
+            # base keys pass through unchanged — the engine folds in the
+            # global epoch itself (engine._run_epochs)
+            carry, _ = segment(carry, keys, tidx, vidx, X, Y)
             snapshots.append(carry)
 
         p4, p6, p8 = snapshots[1][0], snapshots[2][0], snapshots[3][0]

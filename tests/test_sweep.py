@@ -162,8 +162,11 @@ class TestGrid:
         np.testing.assert_allclose(report.lr, [2.5e-4, 5e-4])
 
     def test_cv_sweep_segmented_matches_whole_run(self, small_config, small_corpus):
-        """The segmented executor is the same math as one whole-run
-        program (segment freeze semantics + carried opt state)."""
+        """The segmented executor is the same math AND the same key
+        stream as one whole-run program: the engine derives epoch keys
+        by fold_in(base key, global epoch), so shuffles/dropout are
+        identical across the segment boundary. Full trajectories (loss
+        histories, not just quantized accuracies) must agree."""
         model = make_fast_model(small_config)
         X, Y = small_corpus
         kw = dict(
@@ -175,6 +178,11 @@ class TestGrid:
         np.testing.assert_allclose(
             seg.fold_val_acc, whole.fold_val_acc, rtol=1e-5, atol=1e-6
         )
+        for k in ("loss", "val_loss", "val_acc", "acc"):
+            np.testing.assert_allclose(
+                np.asarray(seg.history[k]), np.asarray(whole.history[k]),
+                rtol=1e-5, atol=1e-6, err_msg=f"history[{k}]",
+            )
 
 
 class TestSweepCLI:

@@ -117,8 +117,9 @@ def replay_batch_indices(key, epochs: int, n_train: int, batch: int):
     """Replay the jitted engine's per-epoch shuffled batch indices on the
     host (same PRNG splits as ``engine.make_fit._run_epochs``)."""
     out = []
-    for ekey in jax.random.split(key, epochs):
-        kshuf, _ = jax.random.split(ekey)
+    for ep in range(epochs):
+        # engine derivation: fold_in(base key, global epoch) -> (shuffle, step)
+        kshuf, _ = jax.random.split(jax.random.fold_in(key, ep))
         bidx, bw = shuffled_epoch_indices(kshuf, n_train, batch)
         out.append((np.asarray(bidx), np.asarray(bw)))
     return out
