@@ -35,3 +35,4 @@ zero_shot = _wrap("zero_shot")
 export_decoder = _wrap("export_decoder")
 serve = _wrap("serve")
 sweep = _wrap("sweep")
+train_baselines = _wrap("train_baselines")

@@ -3,6 +3,7 @@ consumed by the training engine."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import FASTConfig
@@ -42,3 +43,33 @@ def make_fast_model(
         )
 
     return ModelDef(init=init, apply=apply)
+
+
+def make_augmented_model(
+    model: ModelDef, noise_sigma: float = 0.1, ch_drop: float = 0.1
+) -> ModelDef:
+    """Wrap a raw-EEG model with train-time augmentation (BASELINE.json
+    config #4: "subject-dependent training with augmentation (noise,
+    channel dropout)").
+
+    The augmentation runs INSIDE the jitted train step: the engine's
+    per-step PRNG key is split into (augment, model) halves, the batch
+    gets per-trial Gaussian noise + whole-channel dropout
+    (``ops.augment.augment_batch``), and the wrapped apply sees the
+    augmented batch. Eval paths (``train=False``) are bit-identical to
+    the unwrapped model — augmentation never touches validation, test,
+    or serving forwards.
+    """
+    from ..ops.augment import augment_batch
+
+    def apply(params, state, x, *, train=False, rng=None, sample_weight=None):
+        if train:
+            if rng is None:
+                raise ValueError("augmented model needs an rng in train mode")
+            k_aug, rng = jax.random.split(rng)
+            x = augment_batch(k_aug, x, noise_sigma, ch_drop)
+        return model.apply(
+            params, state, x, train=train, rng=rng, sample_weight=sample_weight
+        )
+
+    return ModelDef(init=model.init, apply=apply)

@@ -27,15 +27,30 @@ def eegnet_init(
     n_samples: int,
     n_classes: int = 5,
     dtype=jnp.float32,
+    in_planes: int = 1,
+    temporal_kernel: int = _KL,
 ):
+    """``in_planes > 1`` generalizes the input from one raw plane
+    ``(B, C, T)`` to a stack of planes ``(B, P, C, T')`` — e.g. per-band
+    log-spectrogram images (BASELINE.json config #3: "STFT spectrogram →
+    EEGNet-style depthwise-separable CNN"); the temporal conv then mixes
+    the planes. ``temporal_kernel`` shrinks the K=64 raw-sample kernel
+    for short frame axes (spectrogram time resolution ≪ sample rate)."""
     f1, d = _F1, _D
     f2 = f1 * d
     ks = jax.random.split(key, 5)
-    # classifier input length: conv1 'same' over K=64 (+1 sample) ->
-    # pool4 -> sep_depth 'same' over K=16 (+1 sample) -> pool8
-    t_out = ((n_samples + 1) // 4 + 1) // 8
+    # classifier input length: conv1 'same' over K (+1 sample when K is
+    # even) -> pool4 -> sep_depth 'same' over K=16 (+1 sample) -> pool8
+    pad_t = 1 - temporal_kernel % 2
+    t_out = ((n_samples + pad_t) // 4 + 1) // 8
+    if t_out < 1:
+        raise ValueError(
+            f"n_samples={n_samples} too short for EEGNet's /32 pooling"
+        )
     params = {
-        "temporal": nn.conv2d_init(ks[0], 1, f1, (1, _KL), bias=False, dtype=dtype),
+        "temporal": nn.conv2d_init(
+            ks[0], in_planes, f1, (1, temporal_kernel), bias=False, dtype=dtype
+        ),
         "spatial": nn.conv2d_init(ks[1], f1, f2, (n_channels, 1), bias=False, groups=f1, dtype=dtype),
         "sep_depth": nn.conv2d_init(ks[2], f2, f2, (1, 16), bias=False, groups=f2, dtype=dtype),
         "sep_point": nn.conv2d_init(ks[3], f2, f2, (1, 1), bias=False, dtype=dtype),
@@ -57,13 +72,15 @@ def eegnet_apply(
     rng: Optional[jax.Array] = None,
     sample_weight: Optional[jnp.ndarray] = None,
 ):
-    """``(B, C, T) -> (B, n_classes)`` logits + new BN state."""
+    """``(B, C, T)`` raw (or ``(B, P, C, T')`` plane-stacked) ->
+    ``(B, n_classes)`` logits + new BN state."""
     from ..ops.norm import bn_sample_mask
 
     r1, r2 = nn.split_rng(rng, 2)
     f1, f2 = _F1, _F1 * _D
-    h = x[:, None, :, :]
-    h = nn.conv2d(params["temporal"], h, padding=[(0, 0), (_KL // 2, _KL // 2)])
+    h = x if x.ndim == 4 else x[:, None, :, :]
+    kt = params["temporal"]["w"].shape[-1]
+    h = nn.conv2d(params["temporal"], h, padding=[(0, 0), (kt // 2, kt // 2)])
     h, bn1s = batch_norm(h, params["bn1"], state["bn1"], train=train,
                          mask=bn_sample_mask(h, sample_weight))
     h = nn.conv2d(params["spatial"], h, groups=f1)
