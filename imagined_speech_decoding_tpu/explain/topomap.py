@@ -2,12 +2,20 @@
 
 The reference renders topomaps through MNE's ``standard_1020`` montage
 (``scripts/explain_fast.py:154-206``). MNE is not available in this
-environment, so electrode positions come from a built-in schematic
-10-10 layout (top-down head view, unit-circle head, nose up): rows are
-placed front-to-back, lateral offset scales with the row's circle
-chord, and the below-circle ring (FT9/TP9/PO9 and right homologues)
-sits outside the head outline — the familiar EEG topomap geometry.
-Interpolation is SciPy ``griddata`` (cubic) masked to the head disk.
+environment, so positions come from the published 10-10 construction
+itself (Oostenveld & Praamstra 2001): electrodes are placed on an
+idealized spherical head at the system's defining 10%-arc increments —
+midline electrodes along the nasion-inion great circle, the outer ring
+(Fp1/2, AF7/8, F7/8, FT7/8, T7/8, TP7/8, P7/8, PO7/8, O1/2) at 10%-arc
+steps around the 72°-inclination circle, intermediate electrodes by
+great-circle interpolation between the row's midline and ring points,
+and the 9/10 ring on the 90° (preauricular/nasion/inion) circle. The
+2-D view is the azimuthal-equidistant projection MNE/EEGLAB use: radius
+proportional to inclination from Cz, head outline at the 90° circle —
+so Cz maps to the origin and T7/T8 to (∓0.8, 0) exactly. A schematic
+row/chord layout remains as fallback for names outside the 10-10
+grammar. Interpolation is SciPy ``griddata`` (cubic) masked to the
+head disk.
 """
 
 from __future__ import annotations
@@ -23,7 +31,29 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-# Front-to-back row coordinate (y, nose at +1) per 10-10 row prefix.
+# --- standard_1020 idealized-sphere construction -------------------------
+#
+# Per row: (midline inclination from Cz in deg, front(+1)/back(-1),
+# ring azimuth from nasion in deg). The FC/CP rows' lateral ring
+# electrodes carry the FT/TP names; T is the C row's ring name.
+_ROW_SPEC: Dict[str, Tuple[float, float, float]] = {
+    "Fp": (72.0, +1.0, 18.0),
+    "AF": (54.0, +1.0, 36.0),
+    "F":  (36.0, +1.0, 54.0),
+    "FC": (18.0, +1.0, 72.0),
+    "FT": (18.0, +1.0, 72.0),
+    "C":  (0.0,  +1.0, 90.0),
+    "T":  (0.0,  +1.0, 90.0),
+    "CP": (18.0, -1.0, 108.0),
+    "TP": (18.0, -1.0, 108.0),
+    "P":  (36.0, -1.0, 126.0),
+    "PO": (54.0, -1.0, 144.0),
+    "O":  (72.0, -1.0, 162.0),
+}
+_RING_THETA = 72.0  # inclination of the 10% ring (deg)
+
+# Front-to-back row coordinate (y, nose at +1) per 10-10 row prefix
+# (schematic fallback for names the spherical construction can't place).
 _ROW_Y: Dict[str, float] = {
     "Fp": 0.85, "AF": 0.68, "F": 0.50, "FT": 0.28, "FC": 0.25,
     "T": 0.0, "C": 0.0, "TP": -0.28, "CP": -0.25, "P": -0.50,
@@ -35,8 +65,60 @@ _COL_FRAC = {1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0, 5: 1.25}
 _NAME_RE = re.compile(r"^(Fp|AF|FT|FC|TP|CP|PO|F|T|C|P|O)(z|\d+)$")
 
 
-def electrode_position(name: str) -> Tuple[float, float]:
-    """Schematic (x, y) position of a 10-10 electrode, head radius 1."""
+def _sphere_point(theta_deg: float, azimuth_deg: float, side: float) -> np.ndarray:
+    """Unit vector at inclination theta from Cz, azimuth from nasion
+    (side=-1 left / +1 right / 0 midline-front; x right, y front, z up)."""
+    th = math.radians(theta_deg)
+    az = math.radians(azimuth_deg)
+    return np.array(
+        [side * math.sin(az) * math.sin(th), math.cos(az) * math.sin(th), math.cos(th)]
+    )
+
+
+def _project(p: np.ndarray) -> Tuple[float, float]:
+    """Azimuthal-equidistant 2-D projection: r = inclination / 90 deg."""
+    theta = math.acos(max(-1.0, min(1.0, float(p[2]))))
+    r = theta / (math.pi / 2)
+    h = math.hypot(float(p[0]), float(p[1]))
+    if h < 1e-12:
+        return 0.0, 0.0
+    return r * float(p[0]) / h, r * float(p[1]) / h
+
+
+def standard_1020_position(name: str) -> Tuple[float, float]:
+    """(x, y) of a 10-10 electrode from the idealized-sphere standard
+    construction; raises ``ValueError`` for names outside the grammar."""
+    m = _NAME_RE.match(name)
+    if not m:
+        raise ValueError(f"cannot parse electrode name {name!r}")
+    row, col = m.group(1), m.group(2)
+    theta_m, front, ring_az = _ROW_SPEC[row]
+    if col == "z":
+        # midline: in the sagittal plane, front or back of Cz
+        return _project(_sphere_point(theta_m, 0.0 if front > 0 else 180.0, 0.0))
+    n = int(col)
+    side = -1.0 if n % 2 == 1 else 1.0  # odd = left
+    level = (n + 1) // 2
+    ring = _sphere_point(_RING_THETA, ring_az, side)
+    if level >= 5:  # 9/10 ring: the 90-deg circle, same azimuth
+        return _project(_sphere_point(90.0, ring_az, side))
+    if row in ("Fp", "O"):  # Fp1/2, O1/2 ARE ring electrodes (level 1)
+        return _project(ring)
+    if level == 4:  # 7/8: the ring electrode itself
+        return _project(ring)
+    # interior: great-circle (slerp) interpolation midline -> ring at
+    # quarter-arc steps (1/2 -> 1/4, 3/4 -> 2/4, 5/6 -> 3/4)
+    mid = _sphere_point(theta_m, 0.0 if front > 0 else 180.0, 0.0)
+    omega = math.acos(max(-1.0, min(1.0, float(np.dot(mid, ring)))))
+    t = level / 4.0
+    p = (
+        math.sin((1 - t) * omega) * mid + math.sin(t * omega) * ring
+    ) / math.sin(omega)
+    return _project(p)
+
+
+def schematic_position(name: str) -> Tuple[float, float]:
+    """Schematic (x, y) fallback layout (pre-r3 behaviour), head radius 1."""
     m = _NAME_RE.match(name)
     if not m:
         raise ValueError(f"cannot parse electrode name {name!r}")
@@ -59,6 +141,16 @@ def electrode_position(name: str) -> Tuple[float, float]:
         r = math.hypot(x, y)
         x, y = x / r * 1.12, y / r * 1.12
     return x, y
+
+
+def electrode_position(name: str) -> Tuple[float, float]:
+    """(x, y) position of an electrode, head radius 1: the standard_1020
+    spherical construction when the name fits the 10-10 grammar, the
+    schematic layout otherwise."""
+    try:
+        return standard_1020_position(name)
+    except (ValueError, KeyError):
+        return schematic_position(name)
 
 
 def montage_positions(names: Sequence[str]) -> np.ndarray:

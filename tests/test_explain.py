@@ -117,13 +117,52 @@ class TestTopomap:
         assert x1 == -x2 and x1 < 0
 
     def test_below_circle_ring(self):
+        # the 9/10 ring lies on the 90-deg (preauricular) circle = the
+        # head outline in the azimuthal-equidistant projection
         for name in ("FT9", "TP10", "PO9"):
             x, y = electrode_position(name)
-            assert np.hypot(x, y) > 1.0
+            np.testing.assert_allclose(np.hypot(x, y), 1.0, rtol=1e-6)
 
     def test_bad_name_raises(self):
         with pytest.raises(ValueError):
             electrode_position("XX9")
+
+    def test_standard_1020_anchors(self):
+        """Known anchors of the published idealized-sphere 10-10
+        construction under azimuthal-equidistant projection (VERDICT r2
+        item 7; reference plots on MNE standard_1020,
+        scripts/explain_fast.py:154-206)."""
+        # Cz at the origin
+        np.testing.assert_allclose(electrode_position("Cz"), (0.0, 0.0), atol=1e-12)
+        # T7/T8 on the 72-deg ring at the lateral axis: (∓0.8, 0)
+        np.testing.assert_allclose(electrode_position("T7"), (-0.8, 0.0), atol=1e-9)
+        np.testing.assert_allclose(electrode_position("T8"), (0.8, 0.0), atol=1e-9)
+        # midline: Fz front at 36 deg -> (0, 0.4); Pz mirror at the back
+        np.testing.assert_allclose(electrode_position("Fz"), (0.0, 0.4), atol=1e-9)
+        np.testing.assert_allclose(electrode_position("Pz"), (0.0, -0.4), atol=1e-9)
+        # ring electrodes at 10%-arc azimuth steps, radius 0.8:
+        # Fp1 at 18 deg front-left, O2 at 162 deg back-right
+        np.testing.assert_allclose(
+            electrode_position("Fp1"),
+            (-0.8 * np.sin(np.radians(18)), 0.8 * np.cos(np.radians(18))),
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            electrode_position("O2"),
+            (0.8 * np.sin(np.radians(18)), -0.8 * np.cos(np.radians(18))),
+            atol=1e-9,
+        )
+        # C3: halfway along the Cz->T7 coronal arc -> 36 deg inclination
+        np.testing.assert_allclose(electrode_position("C3"), (-0.4, 0.0), atol=1e-9)
+        # front/back signs
+        assert electrode_position("Fp1")[1] > 0 > electrode_position("O1")[1]
+
+    def test_interior_electrodes_inside_ring(self):
+        # great-circle interpolation keeps 1..6-numbered electrodes
+        # strictly inside the 10% ring
+        for name in ("F3", "FC1", "CP5", "PO3", "AF4", "C1"):
+            x, y = electrode_position(name)
+            assert 0.0 < np.hypot(x, y) < 0.8, name
 
     def test_save_topomap(self, tmp_dir):
         vals = np.random.default_rng(0).normal(size=64)
