@@ -49,6 +49,12 @@ def build_parser():
                    metavar=("LO", "HI"), help="live mode: band edges; 0 0 disables")
     p.add_argument("--max-requests", type=int, default=None,
                    help="exit after N decode requests (smoke tests)")
+    p.add_argument("--reload-root", type=str, default=None,
+                   help="live mode: directory RELOAD paths are confined to "
+                        "(default: the served checkpoint's results tree)")
+    p.add_argument("--auth-token", type=str, default=None,
+                   help="shared secret required on RELOAD/SHUTDOWN requests "
+                        "(read-only requests stay open)")
     return p
 
 
@@ -69,6 +75,7 @@ def build_server(args):
             host=args.host, port=args.port,
             info_extra={"source": os.path.abspath(args.artifact), "mode": "artifact"},
             max_requests=args.max_requests,
+            auth_token=args.auth_token,
             **meta,
         )
 
@@ -115,6 +122,7 @@ def build_server(args):
                 "subjects": subjects,
             },
             max_requests=args.max_requests,
+            auth_token=args.auth_token,
         )
 
     params, state = model.init(jax.random.PRNGKey(0))
@@ -128,13 +136,25 @@ def build_server(args):
         p, s, _ = load_model_npz(path, p0, s0)
         decode.swap_weights(p, s)
 
+    # RELOAD confinement: default to the results tree that contains the
+    # served checkpoint (…/results/FAST for …/results/FAST/sub-01/
+    # best_subject.npz), so sibling subjects' checkpoints stay loadable
+    # while the rest of the filesystem is off-limits.
+    reload_root = args.reload_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(args.checkpoint))
+    )
     return DecoderServer(
         decode,
         n_channels=cfg.n_channels, seq_len=cfg.seq_len, n_classes=cfg.n_classes,
         host=args.host, port=args.port,
         reload_fn=reload_weights,
-        info_extra={"source": os.path.abspath(args.checkpoint), "mode": "live"},
+        reload_root=reload_root,
+        info_extra={
+            "source": os.path.abspath(args.checkpoint), "mode": "live",
+            "reload_root": os.path.realpath(reload_root),
+        },
         max_requests=args.max_requests,
+        auth_token=args.auth_token,
     )
 
 

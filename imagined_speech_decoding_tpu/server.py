@@ -24,6 +24,21 @@ it from ~30 lines of C):
                        model's posteriors for the same windows
     error    0xFF      + utf-8 message (any request may fail)
 
+Deployment hardening (this is the tier exposed to a network, so the
+mutating requests are constrained):
+
+  * RELOAD paths are confined to a configured checkpoint root
+    (``reload_root``): relative paths resolve under it, and any request
+    escaping it after symlink/``..`` resolution is rejected — a client
+    cannot use RELOAD to probe or load arbitrary filesystem paths.
+  * With ``auth_token`` set, RELOAD and SHUTDOWN payloads must start
+    with ``<token>\\n`` (constant-time compared); read-only requests
+    (INFO/DECODE/DECODE_ALL) stay token-free.
+  * Once a frame header arrives, its payload must complete within
+    ``io_timeout`` seconds — a stalled or hostile peer cannot pin a
+    handler thread mid-frame forever. Idle waits between frames remain
+    unbounded (persistent connections are the intended use).
+
 In fleet mode (``isd-serve --checkpoint-dir``: all subjects' best
 checkpoints vmapped into one graph) DECODE returns the fleet's
 soft-vote ensemble mean and DECODE_ALL the per-model posteriors.
@@ -37,7 +52,9 @@ concurrency model.
 
 from __future__ import annotations
 
+import hmac
 import json
+import os
 import socket
 import socketserver
 import struct
@@ -86,13 +103,33 @@ def _send_frame(sock: socket.socket, msg_type: int, payload: bytes = b"") -> Non
     sock.sendall(_HDR.pack(MAGIC, msg_type, len(payload)) + payload)
 
 
-def _recv_frame(sock: socket.socket, max_payload: int = MAX_PAYLOAD) -> Tuple[int, bytes]:
+def _recv_frame(
+    sock: socket.socket,
+    max_payload: int = MAX_PAYLOAD,
+    payload_timeout: Optional[float] = None,
+) -> Tuple[int, bytes]:
+    """Read one frame. ``payload_timeout`` bounds how long the PAYLOAD
+    may take once its header has arrived (anti-stall); the header wait
+    itself keeps the socket's own timeout (idle connections are fine)."""
     magic, msg_type, n = _HDR.unpack(_recv_exact(sock, _HDR.size))
     if magic != MAGIC:
         raise ProtocolError(f"bad magic {magic!r}")
     if n > max_payload:
         raise ProtocolError(f"payload {n} bytes exceeds limit {max_payload}")
-    return msg_type, _recv_exact(sock, n) if n else b""
+    if not n:
+        return msg_type, b""
+    if payload_timeout is None:
+        return msg_type, _recv_exact(sock, n)
+    prev = sock.gettimeout()
+    sock.settimeout(payload_timeout)
+    try:
+        return msg_type, _recv_exact(sock, n)
+    except socket.timeout as e:
+        raise ProtocolError(
+            f"payload stalled (> {payload_timeout}s mid-frame)"
+        ) from e
+    finally:
+        sock.settimeout(prev)
 
 
 class DecoderServer:
@@ -103,9 +140,13 @@ class DecoderServer:
     ``serving.load_decoder_artifact`` (AOT StableHLO), or a fleet
     ensemble (``serving.make_fleet_decoder(...).ensemble``).
     ``reload_fn``, when given, services RELOAD requests (receives the
-    request's path string); omit it for immutable artifact serving.
-    ``decode_all_fn(x) -> (M, B, K)``, when given, services DECODE_ALL
-    (fleet mode: per-model posteriors).
+    resolved path string) and REQUIRES ``reload_root``: requested paths
+    resolve under that directory and escapes (absolute paths outside
+    it, ``..``/symlink traversal) are rejected. Omit ``reload_fn`` for
+    immutable artifact serving. ``decode_all_fn(x) -> (M, B, K)``, when
+    given, services DECODE_ALL (fleet mode: per-model posteriors).
+    ``auth_token``, when set, gates RELOAD and SHUTDOWN behind a shared
+    secret (``<token>\\n`` payload prefix).
 
     Use as a context manager — ``with DecoderServer(...) as srv:`` —
     which starts ``serve_forever`` on a daemon thread and tears it down
@@ -123,13 +164,26 @@ class DecoderServer:
         host: str = "127.0.0.1",
         port: int = 0,
         reload_fn: Optional[Callable[[str], None]] = None,
+        reload_root: Optional[str] = None,
         decode_all_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         info_extra: Optional[Dict] = None,
         max_requests: Optional[int] = None,
+        auth_token: Optional[str] = None,
+        io_timeout: Optional[float] = 30.0,
     ):
+        if reload_fn is not None and reload_root is None:
+            raise ValueError(
+                "reload_fn requires reload_root: RELOAD must be confined to "
+                "a checkpoint directory, not the whole filesystem"
+            )
         self._decode = decode_fn
         self._decode_all = decode_all_fn
         self._reload = reload_fn
+        self._reload_root = (
+            os.path.realpath(reload_root) if reload_root is not None else None
+        )
+        self._auth = auth_token
+        self._io_timeout = io_timeout
         self._meta = {
             "protocol": MAGIC.decode(),
             "n_channels": int(n_channels),
@@ -137,6 +191,7 @@ class DecoderServer:
             "n_classes": int(n_classes),
             "reloadable": reload_fn is not None,
             "fleet": decode_all_fn is not None,
+            "authenticated": auth_token is not None,
             **(info_extra or {}),
         }
         self._lock = threading.Lock()  # serializes device access
@@ -149,7 +204,9 @@ class DecoderServer:
             def handle(self):  # one persistent connection
                 while True:
                     try:
-                        msg_type, payload = _recv_frame(self.request)
+                        msg_type, payload = _recv_frame(
+                            self.request, payload_timeout=outer._io_timeout
+                        )
                     except ConnectionError:
                         return  # client hung up between frames — normal
                     except ProtocolError as e:
@@ -211,20 +268,45 @@ class DecoderServer:
                 return True
             return False
         if msg_type == MSG_RELOAD:
+            payload = self._check_auth(payload)
             if self._reload is None:
                 raise RuntimeError(
                     "server is immutable (artifact mode); RELOAD needs live weights"
                 )
-            path = payload.decode()
+            path = self._confine_reload_path(payload.decode())
             with self._lock:
                 self._reload(path)
             _send_frame(sock, RSP_OK)
             return False
         if msg_type == MSG_SHUTDOWN:
+            self._check_auth(payload)
             _send_frame(sock, RSP_OK)
             self._async_shutdown()
             return True
         raise ProtocolError(f"unknown message type 0x{msg_type:02x}")
+
+    def _check_auth(self, payload: bytes) -> bytes:
+        """Enforce the shared secret on mutating requests; returns the
+        payload with the token prefix stripped."""
+        if self._auth is None:
+            return payload
+        tok, sep, rest = payload.partition(b"\n")
+        if not sep or not hmac.compare_digest(tok, self._auth.encode()):
+            raise PermissionError("bad or missing auth token")
+        return rest
+
+    def _confine_reload_path(self, path: str) -> str:
+        """Resolve a RELOAD path under the configured checkpoint root;
+        reject anything that escapes it after symlink/.. resolution."""
+        root = self._reload_root
+        assert root is not None  # constructor invariant with reload_fn
+        cand = path if os.path.isabs(path) else os.path.join(root, path)
+        real = os.path.realpath(cand)
+        if real != root and not real.startswith(root + os.sep):
+            raise PermissionError(
+                f"RELOAD path {path!r} escapes the checkpoint root"
+            )
+        return real
 
     def _parse_windows(self, payload: bytes) -> np.ndarray:
         """Validate a DECODE/DECODE_ALL payload into its (B, C, T) array."""
@@ -289,8 +371,16 @@ class DecoderClient:
     ...     posteriors = c.decode(raw)   # (B, C, T) f32 -> (B, K)
     """
 
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
+    def __init__(
+        self, host: str, port: int, timeout: float = 60.0,
+        auth_token: Optional[str] = None,
+    ):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._auth = auth_token
+
+    def _authed(self, payload: bytes) -> bytes:
+        """Prefix the shared secret for mutating requests when configured."""
+        return payload if self._auth is None else self._auth.encode() + b"\n" + payload
 
     def _rpc(self, msg_type: int, payload: bytes, expect: int) -> bytes:
         _send_frame(self._sock, msg_type, payload)
@@ -324,10 +414,10 @@ class DecoderClient:
         return np.frombuffer(data, "<f4", offset=12).reshape(m, b, k).copy()
 
     def reload(self, checkpoint_path: str) -> None:
-        self._rpc(MSG_RELOAD, checkpoint_path.encode(), RSP_OK)
+        self._rpc(MSG_RELOAD, self._authed(checkpoint_path.encode()), RSP_OK)
 
     def shutdown_server(self) -> None:
-        self._rpc(MSG_SHUTDOWN, b"", RSP_OK)
+        self._rpc(MSG_SHUTDOWN, self._authed(b""), RSP_OK)
 
     def close(self) -> None:
         self._sock.close()

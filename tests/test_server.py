@@ -98,7 +98,9 @@ class TestLiveServer:
             p, s, _ = load_model_npz(path, p0, s0)
             dec.swap_weights(p, s)
 
-        with _make_server(cfg, dec, reload_fn=reload_fn) as srv:
+        with _make_server(
+            cfg, dec, reload_fn=reload_fn, reload_root=str(tmp_path)
+        ) as srv:
             with DecoderClient(*srv.address) as c:
                 before = c.decode(dummy_eeg_small)
                 c.reload(ckpt)
@@ -445,6 +447,98 @@ class TestNativeCClient:
             r = self._run(client_bin, srv, "shutdown")
             assert r.returncode == 0, r.stderr
             assert b"server stopped" in r.stdout
+
+
+class TestServerHardening:
+    """Deployment-tier constraints on the mutating requests (VERDICT r2
+    item 6): RELOAD confinement, shared-secret auth, mid-frame stalls."""
+
+    def _reloading_server(self, served_model, tmp_path, **kw):
+        cfg, model, params, state, _ = served_model
+        dec = make_online_decoder(model.apply, params, state, notch_hz=None, band=None)
+        calls = []
+        return _make_server(
+            cfg, dec, reload_fn=calls.append, reload_root=str(tmp_path), **kw
+        ), calls
+
+    def test_reload_requires_root(self, served_model):
+        cfg, _, _, _, dec = served_model
+        with pytest.raises(ValueError, match="reload_root"):
+            _make_server(cfg, dec, reload_fn=lambda p: None)
+
+    def test_reload_path_traversal_rejected(self, served_model, tmp_path):
+        srv, calls = self._reloading_server(served_model, tmp_path)
+        with srv:
+            with DecoderClient(*srv.address) as c:
+                for hostile in (
+                    "../../../etc/passwd",
+                    "/etc/passwd",
+                    "sub-01/../../outside.npz",
+                ):
+                    with pytest.raises(RuntimeError, match="escapes"):
+                        c.reload(hostile)
+                assert calls == []
+                # relative paths resolve under the root and are allowed
+                (tmp_path / "ok.npz").write_bytes(b"")
+                c.reload("ok.npz")
+                assert calls == [str(tmp_path / "ok.npz")]
+
+    def test_reload_symlink_escape_rejected(self, served_model, tmp_path):
+        outside = tmp_path.parent / "outside_root.npz"
+        outside.write_bytes(b"")
+        link = tmp_path / "sneaky.npz"
+        os.symlink(outside, link)
+        srv, calls = self._reloading_server(served_model, tmp_path)
+        with srv:
+            with DecoderClient(*srv.address) as c:
+                with pytest.raises(RuntimeError, match="escapes"):
+                    c.reload("sneaky.npz")
+        assert calls == []
+
+    def test_auth_gates_reload_and_shutdown(self, served_model, tmp_path):
+        srv, calls = self._reloading_server(
+            served_model, tmp_path, auth_token="sesame"
+        )
+        (tmp_path / "w.npz").write_bytes(b"")
+        with srv:
+            addr = srv.address
+            # no token -> rejected; wrong token -> rejected
+            with DecoderClient(*addr) as c:
+                with pytest.raises(RuntimeError, match="auth"):
+                    c.reload("w.npz")
+            with DecoderClient(*addr, auth_token="wrong") as c:
+                with pytest.raises(RuntimeError, match="auth"):
+                    c.shutdown_server()
+            # read-only requests stay open without a token
+            with DecoderClient(*addr) as c:
+                assert c.info()["authenticated"] is True
+            # correct token -> accepted
+            with DecoderClient(*addr, auth_token="sesame") as c:
+                c.reload("w.npz")
+                assert calls == [str(tmp_path / "w.npz")]
+                c.shutdown_server()
+
+    def test_unauthenticated_shutdown_allowed_without_token(self, served_model):
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec) as srv:
+            with DecoderClient(*srv.address) as c:
+                c.shutdown_server()  # lab-bench default: open
+
+    def test_midframe_stall_drops_connection(self, served_model):
+        """A peer that sends a header then stalls the payload is cut off
+        after io_timeout instead of pinning the handler thread."""
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec, io_timeout=0.3) as srv:
+            with socket.create_connection(srv.address, timeout=10) as s:
+                # header promises 100 payload bytes; send only 4 and stall
+                s.sendall(_HDR.pack(MAGIC, MSG_DECODE, 100) + b"\x00\x00\x00\x00")
+                rsp, data = _recv_frame(s)
+                assert rsp == RSP_ERR and b"stalled" in data
+                # server closed the connection after the error
+                assert s.recv(1) == b""
+            # and stays healthy for the next client
+            with DecoderClient(*srv.address) as c:
+                assert c.info()["n_classes"] == cfg.n_classes
 
 
 class TestServeCLI:
