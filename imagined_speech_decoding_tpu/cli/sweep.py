@@ -16,6 +16,21 @@ this is exact and controlled), and the driver writes:
 Data: one subject from the raw dataset (``--subject`` + ``--data_folder``,
 reference loader semantics) or ``--synthetic`` trials (no dataset
 needed; used by tests).
+
+Scope — what is runtime-sweepable vs recompile-bound:
+
+  * RUNTIME (this CLI; one compiled program for the whole grid):
+    learning rate (``--lr_scales``), weight decay (``--wd_scales``),
+    and warmup length (``--warmup_grid``) — more generally any
+    lr-schedule shape, since each grid row can carry its own per-step
+    lr table (``train.sweep.hyper_grid(lr_tables=...)``); all exact by
+    AdamW's linearity in the step lr.
+  * RECOMPILE-BOUND (one XLA program per value; sweep them by looping
+    this CLI): batch size and epochs (change the compiled scan shapes),
+    dropout rates and head/architecture choice (baked into the traced
+    graph). The reference's YAML exposes these too
+    (``configs/default.yaml``) but pays a full sequential re-run per
+    value either way.
 """
 
 from __future__ import annotations
@@ -44,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--base_lr", type=float, default=5e-4)
     p.add_argument("--base_wd", type=float, default=0.01)
     p.add_argument("--warmup_epochs", type=int, default=10)
+    p.add_argument(
+        "--warmup_grid", type=str, default="",
+        help="comma-separated warmup-epoch values to sweep as a third "
+        "runtime grid axis (each row carries its own per-step lr table; "
+        "empty = fixed --warmup_epochs)",
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument(
@@ -64,7 +85,7 @@ def _parse_scales(spec: str):
     return vals
 
 
-def save_artifacts(out_dir, report, lr_scales, wd_scales):
+def save_artifacts(out_dir, report, lr_scales, wd_scales, warmup_grid=None):
     import numpy as np
     import pandas as pd
 
@@ -81,17 +102,23 @@ def save_artifacts(out_dir, report, lr_scales, wd_scales):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    mat = np.asarray(report.mean_val_acc).reshape(len(lr_scales), len(wd_scales))
+    n_w = len(warmup_grid) if warmup_grid else 1
+    mat = np.asarray(report.mean_val_acc).reshape(
+        len(lr_scales), len(wd_scales), n_w
+    ).max(-1)  # best-over-warmup per (lr, wd) cell
     fig, ax = plt.subplots(figsize=(1.2 + 1.1 * len(wd_scales), 1.0 + 0.8 * len(lr_scales)))
     im = ax.imshow(mat, cmap="viridis")
-    ax.set_xticks(range(len(wd_scales)), [f"{report.wd[j]:g}" for j in range(len(wd_scales))])
+    ax.set_xticks(range(len(wd_scales)), [f"{report.wd[j * n_w]:g}" for j in range(len(wd_scales))])
     ax.set_yticks(
         range(len(lr_scales)),
-        [f"{report.lr[i * len(wd_scales)]:g}" for i in range(len(lr_scales))],
+        [f"{report.lr[i * len(wd_scales) * n_w]:g}" for i in range(len(lr_scales))],
     )
     ax.set_xlabel("weight decay")
     ax.set_ylabel("learning rate")
-    ax.set_title("mean best val accuracy")
+    ax.set_title(
+        "mean best val accuracy"
+        + (f" (max over {n_w} warmups)" if n_w > 1 else "")
+    )
     for i in range(mat.shape[0]):
         for j in range(mat.shape[1]):
             ax.text(j, i, f"{mat[i, j]:.3f}", ha="center", va="center",
@@ -119,6 +146,10 @@ def main(argv=None):
 
     lr_scales = _parse_scales(args.lr_scales)
     wd_scales = _parse_scales(args.wd_scales)
+    warmup_grid = (
+        [int(v) for v in args.warmup_grid.split(",") if v.strip() != ""]
+        if args.warmup_grid else None
+    )
 
     cfg = load_config(args.config if os.path.exists(args.config) else None, {})
     if args.synthetic:
@@ -150,10 +181,12 @@ def main(argv=None):
     X = jnp.asarray(np.asarray(x, np.float32))
     Y = jnp.asarray(np.asarray(y).astype(np.int32))
 
-    h = len(lr_scales) * len(wd_scales)
+    h = len(lr_scales) * len(wd_scales) * (len(warmup_grid) if warmup_grid else 1)
     print(
-        f"sweep [{label}]: {len(lr_scales)} lr x {len(wd_scales)} wd x "
-        f"{args.n_folds} folds = {h * args.n_folds} models, {args.epochs} epochs"
+        f"sweep [{label}]: {len(lr_scales)} lr x {len(wd_scales)} wd"
+        + (f" x {len(warmup_grid)} warmup" if warmup_grid else "")
+        + f" x {args.n_folds} folds = {h * args.n_folds} models, "
+        f"{args.epochs} epochs"
     )
     report = cv_sweep(
         model,
@@ -169,19 +202,21 @@ def main(argv=None):
         base_learning_rate=args.base_lr,
         base_weight_decay=args.base_wd,
         warmup_epochs=args.warmup_epochs,
+        warmup_epochs_list=warmup_grid,
         seed=args.seed,
         data_dtype=jnp.bfloat16 if args.precision == "bf16" else None,
         segment_epochs=args.segment_epochs or None,
     )
 
     csv_path, png_path, best_path = save_artifacts(
-        args.output_dir, report, lr_scales, wd_scales
+        args.output_dir, report, lr_scales, wd_scales, warmup_grid
     )
     b = report.best
     print(f"sweep artifacts: {csv_path}, {png_path}, {best_path}")
     print(
         f"best: lr={b['learning_rate']:g} wd={b['weight_decay']:g} "
-        f"mean val_acc {b['mean_val_acc']:.4f} +/- {b['std_val_acc']:.4f}"
+        + (f"warmup={b['warmup_epochs']} " if "warmup_epochs" in b else "")
+        + f"mean val_acc {b['mean_val_acc']:.4f} +/- {b['std_val_acc']:.4f}"
     )
     return report
 

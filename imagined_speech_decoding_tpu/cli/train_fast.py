@@ -108,7 +108,9 @@ def build_overrides(args) -> dict:
         with open(args.hyperparams) as f:
             best = json.load(f)
         sweep_hp = {
-            k: best[k] for k in ("learning_rate", "weight_decay") if k in best
+            k: best[k]
+            for k in ("learning_rate", "weight_decay", "warmup_epochs")
+            if k in best
         }
         print(f"hyperparams from {args.hyperparams}: {sweep_hp}")
 
@@ -131,6 +133,7 @@ def build_overrides(args) -> dict:
                 if args.weight_decay is not None
                 else sweep_hp.get("weight_decay")
             ),
+            "warmup_epochs": sweep_hp.get("warmup_epochs"),
         }.items()
         if v is not None
     }

@@ -113,12 +113,16 @@ def make_fit(
     ``{'lr_scale': c, 'wd_scale': w}`` (traced scalars), and trains with
     effective ``lr = learning_rate * c`` and ``weight_decay =
     weight_decay * w`` — exactly, because AdamW's update is linear in
-    the step lr (``-lr_t * (m̂/(√v̂+ε) + wd·p)``), so scaling the
-    optimizer's (wd-free) update by ``c`` and adding the decoupled-decay
-    term manually reproduces a rebuilt optimizer to float rounding
-    (``tests/test_sweep.py``). Under ``vmap`` over ``hyper`` this trains
-    a whole hyperparameter grid as ONE compiled program — see
-    ``train.sweep``.
+    the step lr (``-lr_t * (m̂/(√v̂+ε) + wd·p)``): the base optimizer
+    runs at UNIT lr (wd-free), and the effective update
+    ``-lr_t·(adam_dir + wd'·p)`` is reconstructed per step. ``hyper``
+    may additionally carry ``'lr_table'``, a ``(total_steps,)`` array of
+    absolute per-step learning rates that REPLACES the built-in
+    schedule for that model (then ``lr_t = lr_scale * lr_table[step]``)
+    — by the same linearity, the entire schedule SHAPE (warmup length,
+    final scale, decay family) becomes a runtime input. Under ``vmap``
+    over ``hyper`` this trains a whole hyperparameter grid as ONE
+    compiled program — see ``train.sweep``.
     """
     spe = num_batches(n_train, batch_size)
     # The LR schedule spans the FULL run; under segmented execution
@@ -128,11 +132,13 @@ def make_fit(
         schedule = warmup_cosine_lr(
             learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale
         )
-    # Sweep mode keeps the base optimizer decay-free: decay is applied
-    # manually in train_step where it can be scaled per model.
+    # Sweep mode keeps the base optimizer decay-free AND at unit lr:
+    # both the decay and the per-step lr are applied manually in
+    # train_step where they can be scaled (or table-replaced) per model.
     opt = make_optimizer(
         learning_rate, total_epochs or epochs, spe, warmup_epochs, final_scale,
-        0.0 if sweep else weight_decay, schedule=schedule,
+        0.0 if sweep else weight_decay,
+        schedule=(lambda _: 1.0) if sweep else schedule,
     )
 
     # Validation batching is free to differ from the train batch size —
@@ -192,13 +198,20 @@ def make_fit(
         updates, opt_state = opt.update(grads, opt_state, params)
         if hyper is not None:
             # Sweep mode (see make_fit docstring): base updates are
-            # -lr_t * adam_dir (wd-free optimizer); the effective
-            # update -c·lr_t·(adam_dir + wd'·p) is reconstructed with
-            # wd' = weight_decay * wd_scale and lr_t = schedule at this
-            # global step (= the optimizer's own count for this step).
-            c = hyper["lr_scale"]
-            wd_t = c * schedule(ep * spe + i) * (weight_decay * hyper["wd_scale"])
-            updates = jax.tree.map(lambda u, p: c * u - wd_t * p, updates, params)
+            # -adam_dir (unit-lr, wd-free optimizer); the effective
+            # update -lr_t·(adam_dir + wd'·p) is reconstructed with
+            # lr_t = lr_scale x (the model's own lr table, or the
+            # built-in schedule) at this global step (= the optimizer's
+            # count for this step) and wd' = weight_decay * wd_scale.
+            step_no = ep * spe + i
+            if "lr_table" in hyper:
+                tbl = hyper["lr_table"]
+                base_lr = tbl[jnp.clip(step_no, 0, tbl.shape[0] - 1)]
+            else:
+                base_lr = schedule(step_no)
+            lr_t = hyper["lr_scale"] * base_lr
+            wd_t = lr_t * (weight_decay * hyper["wd_scale"])
+            updates = jax.tree.map(lambda u, p: lr_t * u - wd_t * p, updates, params)
         params = optax.apply_updates(params, updates)
         cm = confusion_matrix(logits, y, n_classes, w)
         return (params, new_ms, opt_state), (loss * jnp.sum(w), cm)

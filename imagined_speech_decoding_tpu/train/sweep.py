@@ -33,17 +33,43 @@ from .engine import FitResult, ModelDef, make_fit
 
 
 def hyper_grid(
-    lr_scales: Sequence[float], wd_scales: Sequence[float]
-) -> Tuple[Dict[str, jnp.ndarray], List[Tuple[float, float]]]:
-    """Cross product of scale factors as stacked runtime-hyper arrays.
+    lr_scales: Sequence[float],
+    wd_scales: Sequence[float],
+    warmup_epochs_list: Optional[Sequence[int]] = None,
+    *,
+    lr_tables: Optional[np.ndarray] = None,
+) -> Tuple[Dict[str, jnp.ndarray], List[Tuple]]:
+    """Cross product of runtime hyperparameters as stacked hyper arrays.
 
-    Returns ``({'lr_scale': (H,), 'wd_scale': (H,)}, meta)`` with
-    ``meta[h] = (lr_scale, wd_scale)`` in row-major (lr-outer) order.
+    Without ``warmup_epochs_list``: ``({'lr_scale': (H,), 'wd_scale':
+    (H,)}, meta)`` with ``meta[h] = (lr_scale, wd_scale)`` in row-major
+    (lr-outer) order. With it, the grid gains a third (innermost) warmup
+    axis, ``meta[h] = (lr_scale, wd_scale, warmup_epochs)``, and
+    ``hyper['lr_table']`` carries each row's absolute per-step lr table
+    (``lr_tables[w_index]``, shape ``(n_warmups, total_steps)``, built
+    by the caller for its epoch/step geometry).
     """
-    meta = [(float(a), float(b)) for a in lr_scales for b in wd_scales]
+    if warmup_epochs_list is None:
+        meta = [(float(a), float(b)) for a in lr_scales for b in wd_scales]
+        return {
+            "lr_scale": jnp.asarray([m[0] for m in meta], jnp.float32),
+            "wd_scale": jnp.asarray([m[1] for m in meta], jnp.float32),
+        }, meta
+    if lr_tables is None or len(lr_tables) != len(warmup_epochs_list):
+        raise ValueError("warmup sweep needs one lr_table row per warmup value")
+    meta = [
+        (float(a), float(b), int(w))
+        for a in lr_scales
+        for b in wd_scales
+        for w in warmup_epochs_list
+    ]
+    w_index = {int(w): i for i, w in enumerate(warmup_epochs_list)}
     return {
         "lr_scale": jnp.asarray([m[0] for m in meta], jnp.float32),
         "wd_scale": jnp.asarray([m[1] for m in meta], jnp.float32),
+        "lr_table": jnp.asarray(
+            np.stack([lr_tables[w_index[m[2]]] for m in meta]), jnp.float32
+        ),
     }, meta
 
 
@@ -68,7 +94,8 @@ def _tile_models(tree, reps: int):
 
 @dataclass
 class SweepReport:
-    """Result of :func:`cv_sweep` over an (lr × wd) grid with K folds."""
+    """Result of :func:`cv_sweep` over an (lr × wd [× warmup]) grid with
+    K folds."""
 
     lr: np.ndarray  # (H,) absolute learning rates
     wd: np.ndarray  # (H,) absolute weight decays
@@ -77,17 +104,21 @@ class SweepReport:
     std_val_acc: np.ndarray  # (H,)
     best_index: int  # argmax of mean_val_acc
     history: Dict[str, np.ndarray]  # each (H, F, E)
-    meta: List[Tuple[float, float]]  # (lr_scale, wd_scale) per row
+    meta: List[Tuple]  # (lr_scale, wd_scale[, warmup_epochs]) per row
+    warmup: Optional[np.ndarray] = None  # (H,) warmup epochs, if swept
 
     @property
     def best(self) -> Dict[str, float]:
         h = self.best_index
-        return {
+        out = {
             "learning_rate": float(self.lr[h]),
             "weight_decay": float(self.wd[h]),
             "mean_val_acc": float(self.mean_val_acc[h]),
             "std_val_acc": float(self.std_val_acc[h]),
         }
+        if self.warmup is not None:
+            out["warmup_epochs"] = int(self.warmup[h])
+        return out
 
     def rows(self) -> List[Dict[str, float]]:
         """Flat per-config records (for CSV export)."""
@@ -99,6 +130,8 @@ class SweepReport:
                 "mean_val_acc": float(self.mean_val_acc[h]),
                 "std_val_acc": float(self.std_val_acc[h]),
             }
+            if self.warmup is not None:
+                row["warmup_epochs"] = int(self.warmup[h])
             for f in range(self.fold_val_acc.shape[1]):
                 row[f"fold{f}_val_acc"] = float(self.fold_val_acc[h, f])
             out.append(row)
@@ -120,34 +153,62 @@ def cv_sweep(
     base_learning_rate: float = 5e-4,
     base_weight_decay: float = 0.01,
     warmup_epochs: int = 10,
+    warmup_epochs_list: Optional[Sequence[int]] = None,
+    final_lr_scale: float = 0.1,
     seed: int = 42,
     data_dtype=None,
     segment_epochs: Optional[int] = None,
 ) -> SweepReport:
-    """K-fold CV over an (lr × wd) grid, all configs in one program.
+    """K-fold CV over an (lr × wd [× warmup]) grid, all in one program.
 
     ``X (n_trials, C, T)`` / ``Y (n_trials,)`` is one subject's corpus
     on device; folds are the same sklearn KFold splits the CV driver
     uses (``cv.kfold_indices``). Absolute hyperparameters are
-    ``base_* × scale``. ``segment_epochs`` runs the sweep through the
-    segmented executor (long-scan safety; identical trajectories — the
-    engine derives epoch keys from the global epoch counter) instead of one
-    whole-run program.
+    ``base_* × scale``. ``warmup_epochs_list`` additionally sweeps the
+    warmup LENGTH as a runtime input: each grid row carries its own
+    absolute per-step lr table (``hyper['lr_table']``), exact by the
+    same step-lr linearity as the scale sweep. ``segment_epochs`` runs
+    the sweep through the segmented executor (long-scan safety;
+    identical trajectories — the engine derives epoch keys from the
+    global epoch counter) instead of one whole-run program.
+
+    Runtime-sweepable through this engine: learning rate, weight decay,
+    and the entire lr-schedule shape (warmup length, final scale, decay
+    family — anything expressible as a per-step lr table). Recompile-
+    bound (one XLA program per value): batch size, epochs, dropout
+    rates, model architecture/head — their values are baked into the
+    compiled graph's shapes or constants.
     """
     # Deferred: cv pulls pandas/artifacts, which plain engine users
     # (and `import ...train`) should not pay for.
     from .cv import build_cv_index_stack, stacked_init
+    from .schedule import cosine_scheduler
 
     tr, va, _ = build_cv_index_stack(1, n_trials, n_folds, seed)
-    hyper1, meta = hyper_grid(lr_scales, wd_scales)
-    H, F = len(meta), n_folds
     n_train, n_val = tr.shape[1], va.shape[1]
+    if warmup_epochs_list is None:
+        hyper1, meta = hyper_grid(lr_scales, wd_scales)
+        warmups = None
+    else:
+        from .engine import num_batches as _nb
+
+        spe = _nb(n_train, batch_size)
+        tables = np.stack([
+            base_learning_rate
+            * cosine_scheduler(1.0, final_lr_scale, epochs, spe, warmup_epochs=w)
+            for w in warmup_epochs_list
+        ])
+        hyper1, meta = hyper_grid(
+            lr_scales, wd_scales, warmup_epochs_list, lr_tables=tables
+        )
+        warmups = np.asarray([m[2] for m in meta])
+    H, F = len(meta), n_folds
 
     # One init + one key stream per FOLD, shared across all configs.
     pf, sf = stacked_init(model, jax.random.PRNGKey(seed), F)
     params0, state0 = _tile_models(pf, H), _tile_models(sf, H)
     keys = _tile_models(jax.random.split(jax.random.PRNGKey(seed + 1), F), H)
-    hyper = {k: jnp.repeat(v, F) for k, v in hyper1.items()}
+    hyper = {k: jnp.repeat(v, F, axis=0) for k, v in hyper1.items()}
     tidx = jnp.asarray(np.tile(tr, (H, 1)))
     vidx = jnp.asarray(np.tile(va, (H, 1)))
 
@@ -191,4 +252,5 @@ def cv_sweep(
         best_index=int(np.argmax(mean)),
         history=history,
         meta=meta,
+        warmup=warmups,
     )

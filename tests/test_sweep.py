@@ -77,6 +77,46 @@ class TestSweepExactness:
                 np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3
             )
 
+    @pytest.mark.parametrize("warmup", [0, 1, 3])
+    def test_lr_table_matches_rebuilt_warmup(self, small_config, small_corpus, warmup):
+        """A per-model lr TABLE (the warmup-sweep mechanism) reproduces a
+        plain fit rebuilt with that warmup length — the schedule shape
+        really is a runtime input."""
+        from imagined_speech_decoding_tpu.train.schedule import cosine_scheduler
+
+        model = make_fast_model(small_config)
+        X, Y = small_corpus
+        tr, va = jnp.arange(24), jnp.arange(24, 30)
+        p0, s0 = model.init(jax.random.PRNGKey(3))
+        key = jax.random.PRNGKey(7)
+        kw = _fit_kwargs()
+        spe = 24 // 10 + 1  # 3 steps/epoch at batch 10
+
+        fit_ref = make_fit(
+            model.apply, 5, learning_rate=5e-4, weight_decay=0.01,
+            epochs=kw["epochs"], batch_size=kw["batch_size"],
+            n_train=kw["n_train"], n_val=kw["n_val"], warmup_epochs=warmup,
+        )
+        r_ref = jax.jit(fit_ref)(key, p0, s0, tr, va, X, Y)
+
+        fit_sw = make_fit(
+            model.apply, 5, learning_rate=5e-4, weight_decay=0.01, sweep=True,
+            **kw,  # base warmup differs (2): the table must fully override it
+        )
+        table = 5e-4 * cosine_scheduler(1.0, 0.1, kw["epochs"], spe, warmup_epochs=warmup)
+        hyper = {
+            "lr_scale": jnp.float32(1.0),
+            "wd_scale": jnp.float32(1.0),
+            "lr_table": jnp.asarray(table, jnp.float32),
+        }
+        r_sw = jax.jit(fit_sw)(hyper, key, p0, s0, tr, va, X, Y)
+
+        for k in r_ref.history:
+            np.testing.assert_allclose(
+                np.asarray(r_sw.history[k]), np.asarray(r_ref.history[k]),
+                rtol=2e-4, atol=2e-5, err_msg=f"history[{k}] warmup={warmup}",
+            )
+
     def test_hyper_changes_training(self, small_config, small_corpus):
         """Different scales through the SAME compiled program must give
         different trajectories (the hyper really is a runtime input)."""
@@ -161,6 +201,25 @@ class TestGrid:
         # lr column carries absolute values (base 5e-4 x scales)
         np.testing.assert_allclose(report.lr, [2.5e-4, 5e-4])
 
+    def test_cv_sweep_warmup_grid(self, small_config, small_corpus):
+        """The third (warmup) grid axis: report geometry, per-row warmup
+        values, and that warmup actually changes trajectories."""
+        model = make_fast_model(small_config)
+        X, Y = small_corpus
+        report = cv_sweep(
+            model, 5, X, Y, n_trials=30, lr_scales=[1.0], wd_scales=[1.0],
+            warmup_epochs_list=[0, 4], n_folds=3, epochs=4, batch_size=10,
+            seed=42,
+        )
+        assert report.fold_val_acc.shape == (2, 3)
+        np.testing.assert_array_equal(report.warmup, [0, 4])
+        assert "warmup_epochs" in report.best
+        assert all("warmup_epochs" in r for r in report.rows())
+        # warmup 0 vs 4 must produce different loss histories through
+        # the SAME compiled program
+        h = report.history["loss"]
+        assert not np.allclose(h[0], h[1])
+
     def test_cv_sweep_segmented_matches_whole_run(self, small_config, small_corpus):
         """The segmented executor is the same math AND the same key
         stream as one whole-run program: the engine derives epoch keys
@@ -210,6 +269,28 @@ class TestSweepCLI:
         assert os.path.exists(os.path.join(out, "best.json"))
         assert report.fold_val_acc.shape == (2, 3)
 
+    def test_synthetic_cli_warmup_grid(self, tmp_path, monkeypatch, small_config):
+        from imagined_speech_decoding_tpu.cli import sweep as cli_sweep
+        from imagined_speech_decoding_tpu import config as config_mod
+
+        import dataclasses
+        import json
+
+        full = config_mod.load_config(None, {})
+        patched = dataclasses.replace(full, model=small_config)
+        monkeypatch.setattr(config_mod, "load_config", lambda *a, **k: patched)
+        out = str(tmp_path / "wsweep")
+        report = cli_sweep.main([
+            "--synthetic", "24", "--n_folds", "3", "--epochs", "2",
+            "--batch_size", "8", "--lr_scales", "1", "--wd_scales", "1",
+            "--warmup_grid", "0,1", "--precision", "f32", "--output_dir", out,
+        ])
+        assert report.fold_val_acc.shape == (2, 3)
+        with open(os.path.join(out, "best.json")) as f:
+            best = json.load(f)
+        assert best["warmup_epochs"] in (0, 1)
+        assert os.path.exists(os.path.join(out, "sweep_heatmap.png"))
+
     def test_train_fast_consumes_best_json(self, tmp_path):
         """The sweep winner feeds the production CLI (--hyperparams);
         explicit flags win over the file."""
@@ -220,6 +301,7 @@ class TestSweepCLI:
 
         best = {
             "learning_rate": 2e-3, "weight_decay": 0.0, "mean_val_acc": 0.5,
+            "warmup_epochs": 7,
         }
         path = tmp_path / "best.json"
         path.write_text(json.dumps(best))
@@ -228,9 +310,11 @@ class TestSweepCLI:
         ov = train_cli.build_overrides(args)
         assert ov["learning_rate"] == 2e-3
         assert ov["weight_decay"] == 0.0  # wd=0 from the file survives
+        assert ov["warmup_epochs"] == 7  # warmup winner flows through too
         cfg = load_config(None, ov)
         assert cfg.train.learning_rate == 2e-3
         assert cfg.train.weight_decay == 0.0
+        assert cfg.train.warmup_epochs == 7
 
         args = train_cli.build_parser().parse_args(
             ["--hyperparams", str(path), "--learning_rate", "1e-4",
