@@ -158,7 +158,8 @@ def _conv4_impl(which: str) -> str:
     ``ISD_CONV4_FIRST`` (first conv: ``gemm`` patch-GEMM | ``conv`` native
     XLA conv) and ``ISD_CONV4_TAILS`` (``pertap`` accumulated shifted
     GEMMs | ``patches`` K-tap patch-stack GEMM | ``conv`` native XLA
-    grouped conv | ``conv2`` composed single conv | ``fullseq`` /
+    grouped conv | ``nhwc2`` channels-last end-to-end tails | ``conv2``
+    composed single conv | ``fullseq`` /
     ``fullseq2`` full-sequence tails). Defaults are the measured-fastest
     on the available chip (train: ``conv``; inference: ``conv2`` — see
     ``_conv4_tails_impl``): the program is HBM-bandwidth-bound, and
@@ -381,6 +382,19 @@ def _conv4_tails(params, h, impl=None):
                 params["cnn4"]["w"][:, :, :, 0, :],
             )
         return _conv4_tails_composed(params, h)
+    if impl == "nhwc2":
+        # Channels-last END-TO-END: the r2 `convnhwc` experiment
+        # transposed around EACH conv, reintroducing the very relayout
+        # copies it meant to remove (measured null). This variant pays
+        # ONE transpose into NHWC, runs cnn3 -> cnn4 -> GELU -> time-mean
+        # entirely channels-last, and converts back only at the tiny
+        # (B, Z, O) output — the layout-attack candidate for the 22%
+        # copy share in docs/PERFORMANCE.md's op profile.
+        return _tails_nhwc_chain(
+            h,
+            params["cnn3"]["w"][:, :, :, 0, :].astype(h.dtype),
+            params["cnn4"]["w"][:, :, :, 0, :].astype(h.dtype),
+        )
     for name in ("cnn3", "cnn4"):
         w = params[name]["w"][:, :, :, 0, :].astype(h.dtype)  # (Z, O, I, K)
         kk = w.shape[-1]
@@ -423,6 +437,28 @@ def _conv4_tails(params, h, impl=None):
         h = checkpoint_name(h, "tails_h3" if name == "cnn3" else "tails_h4")
     h = jax.nn.gelu(h, approximate=False)
     return jnp.mean(h, axis=-1)  # (B, Z, O)
+
+
+def _tails_nhwc_chain(x, w3, w4):
+    """Both tail convs + GELU + time-mean fully channels-last:
+    ``x (B, Z, I, T1)`` → ``(B, Z, O)`` with a single layout change on
+    the large activation (into NHWC before cnn3; the output transpose
+    is on the time-reduced (B, Z·O) tensor, i.e. free)."""
+    b, z, i, t1 = x.shape
+    o = w3.shape[1]
+    h = x.reshape(b, z * i, 1, t1).transpose(0, 2, 3, 1)  # (B, 1, T1, Z*I)
+    for w in (w3, w4):
+        kk = w.shape[-1]
+        h = jax.lax.conv_general_dilated(
+            h,
+            w.reshape(z * w.shape[1], w.shape[2], 1, kk).transpose(2, 3, 1, 0),
+            window_strides=(1, 1),
+            padding=[(0, 0), (kk // 2, kk // 2)],
+            feature_group_count=z,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    h = jax.nn.gelu(h, approximate=False)  # (B, 1, T1, Z*O)
+    return jnp.mean(h[:, 0], axis=1).reshape(b, z, o)
 
 
 def _grouped_conv_same_time(x, w):

@@ -241,7 +241,8 @@ class TestFusedFullseqEquivalence:
     @pytest.mark.parametrize("first", ["gemm", "conv"])
     @pytest.mark.parametrize(
         "tails",
-        ["patches", "pertap", "conv", "convnhwc", "fullseq", "conv2", "conv2c", "fullseq2"],
+        ["patches", "pertap", "conv", "convnhwc", "nhwc2", "fullseq", "conv2",
+         "conv2c", "fullseq2"],
     )
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
@@ -262,7 +263,9 @@ class TestFusedFullseqEquivalence:
         ))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
-    @pytest.mark.parametrize("tails", [None, "fullseq", "conv2", "conv2c", "fullseq2"])
+    @pytest.mark.parametrize(
+        "tails", [None, "fullseq", "conv2", "conv2c", "fullseq2", "nhwc2"]
+    )
     def test_fullseq_gradients_match_windowed(self, tails, monkeypatch):
         from imagined_speech_decoding_tpu.models.heads import (
             conv4layers_fused_all_zones,
