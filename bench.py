@@ -256,6 +256,75 @@ def main():
         f"(chance 0.2, expected band {ACC_EXPECTED_RANGE}, "
         f"{'OK' if in_band else 'OUT OF BAND'})")
 
+    # ---- sweep grid: the compiled hyperparameter-search program
+    # (train.sweep) — a 2x2 (lr x wd) grid x 5 folds = 20 models on one
+    # subject's corpus, timed at steady state so BENCH_r{N} regression-
+    # covers the sweep executor alongside the CV engine. ----
+    from imagined_speech_decoding_tpu.train.sweep import hyper_grid, sweep_many
+
+    tr1, va1, _ = build_cv_index_stack(1, N_TRIALS, N_FOLDS, seed=42)
+    hyper1, _meta = hyper_grid([0.5, 1.0], [0.0, 1.0])
+    H = 4
+    sw_n_train, sw_n_val = tr1.shape[1], va1.shape[1]
+    fit_sw = make_fit(
+        model.apply, cfg.n_classes, epochs=BENCH_EPOCHS, batch_size=BATCH_SIZE,
+        n_train=sw_n_train, n_val=sw_n_val, learning_rate=5e-4,
+        warmup_epochs=min(10, BENCH_EPOCHS), data_dtype=compute_dtype, sweep=True,
+    )
+    tile = lambda t: jax.tree.map(
+        lambda v: jnp.tile(v, (H,) + (1,) * (v.ndim - 1)), t
+    )
+    pf, sf = stacked_init(model, jax.random.PRNGKey(2), N_FOLDS)
+    sw_params0, sw_state0 = tile(pf), tile(sf)
+    sw_keys = tile(jax.random.split(jax.random.PRNGKey(3), N_FOLDS))
+    sw_hyper = {k: jnp.repeat(v, N_FOLDS, axis=0) for k, v in hyper1.items()}
+    sw_tidx = jnp.asarray(np.tile(tr1, (H, 1)))
+    sw_vidx = jnp.asarray(np.tile(va1, (H, 1)))
+    x_sub0 = x_flat[:N_TRIALS]
+    y_sub0 = y_flat[:N_TRIALS]
+    run_sw = jax.jit(lambda *a: sweep_many(fit_sw, *a))
+    t0 = time.perf_counter()
+    warm = run_sw(sw_hyper, sw_keys, sw_params0, sw_state0, sw_tidx, sw_vidx, x_sub0, y_sub0)
+    float(jnp.sum(warm.best_val_acc))
+    log(f"bench: sweep-grid compile+first-run {time.perf_counter() - t0:.2f}s "
+        f"({H} configs x {N_FOLDS} folds)")
+    t0 = time.perf_counter()
+    sw_res = run_sw(sw_hyper, sw_keys, sw_params0, sw_state0, sw_tidx, sw_vidx, x_sub0, y_sub0)
+    float(jnp.sum(sw_res.best_val_acc))
+    t_sweep = time.perf_counter() - t0
+    sweep_windows = H * N_FOLDS * BENCH_EPOCHS * (sw_n_train + sw_n_val) * cfg.n_tokens
+    log(f"bench: sweep-grid steady-state {t_sweep:.3f}s "
+        f"({sweep_windows / max(t_sweep, 1e-9):.0f} windows/s)")
+
+    # ---- LOSO: the cross-subject pretraining program (train.loso) —
+    # 15 exclusions training simultaneously on 14-subject pools. ----
+    from imagined_speech_decoding_tpu.train.loso import build_loso_index_stack
+
+    LOSO_EPOCHS = 2  # 15 models x 4.4k-trial pools: 2 epochs is plenty of signal
+    lt, lv = build_loso_index_stack(np.asarray(y_flat).reshape(N_SUBJECTS, N_TRIALS))
+    lo_n_train, lo_n_val = lt.shape[1], lv.shape[1]
+    fit_lo = make_fit(
+        model.apply, cfg.n_classes, epochs=LOSO_EPOCHS, batch_size=BATCH_SIZE,
+        n_train=lo_n_train, n_val=lo_n_val, learning_rate=5e-4,
+        warmup_epochs=LOSO_EPOCHS, data_dtype=compute_dtype,
+    )
+    lo_params0, lo_state0 = stacked_init(model, jax.random.PRNGKey(4), N_SUBJECTS)
+    lo_keys = jax.random.split(jax.random.PRNGKey(5), N_SUBJECTS)
+    run_lo = jax.jit(lambda *a: fit_many(fit_lo, *a))
+    lo_t, lo_v = jnp.asarray(lt), jnp.asarray(lv)
+    t0 = time.perf_counter()
+    warm = run_lo(lo_keys, lo_params0, lo_state0, lo_t, lo_v, x_flat, y_flat)
+    float(jnp.sum(warm.best_val_acc))
+    log(f"bench: LOSO compile+first-run {time.perf_counter() - t0:.2f}s "
+        f"({N_SUBJECTS} exclusions x {LOSO_EPOCHS} epochs)")
+    t0 = time.perf_counter()
+    lo_res = run_lo(lo_keys, lo_params0, lo_state0, lo_t, lo_v, x_flat, y_flat)
+    float(jnp.sum(lo_res.best_val_acc))
+    t_loso = time.perf_counter() - t0
+    loso_windows = N_SUBJECTS * LOSO_EPOCHS * (lo_n_train + lo_n_val) * cfg.n_tokens
+    log(f"bench: LOSO steady-state {t_loso:.3f}s "
+        f"({loso_windows / max(t_loso, 1e-9):.0f} windows/s)")
+
     # ---- online-decoding latency: the single jitted raw-window ->
     # posterior graph (BASELINE.json's fixed-latency serving path) ----
     from imagined_speech_decoding_tpu.serving import make_online_decoder
@@ -289,6 +358,16 @@ def main():
         f"this tunnel: {floor_ms:.2f} ms -> on-device compute "
         f"{max(lat_ms - floor_ms, 0.0):.2f} ms)")
 
+    # ---- fleet serving: DECODE_ALL p50 — every subject's model answers
+    # the same window through ONE vmapped graph (server.py fleet mode) ----
+    from imagined_speech_decoding_tpu.serving import make_fleet_decoder
+
+    fleet_p, fleet_s = stacked_init(model1, jax.random.PRNGKey(8), N_SUBJECTS)
+    fleet = make_fleet_decoder(model1.apply, fleet_p, fleet_s)
+    fleet_ms = p50_ms(lambda v: fleet(v))
+    log(f"bench: fleet DECODE_ALL p50 ({N_SUBJECTS} models, 1 window) "
+        f"{fleet_ms:.2f} ms")
+
     total_windows = pre_windows + train_windows
     total_time = t_pre + t_train
     value = total_windows / total_time
@@ -321,6 +400,11 @@ def main():
             "acc_in_band": in_band,
             "online_decode_p50_ms": round(lat_ms, 2),
             "dispatch_floor_p50_ms": round(floor_ms, 2),
+            "sweep_grid_s": round(t_sweep, 3),
+            "sweep_grid_windows_per_s": round(sweep_windows / max(t_sweep, 1e-9), 1),
+            "loso_s": round(t_loso, 3),
+            "loso_windows_per_s": round(loso_windows / max(t_loso, 1e-9), 1),
+            "fleet_decode_all_p50_ms": round(fleet_ms, 2),
             "achieved_tflops": round(achieved_tflops, 2),
             "measured_peak_matmul_tflops": round(peak_tflops, 1),
             "mfu": round(mfu, 4),
