@@ -251,30 +251,38 @@ def mne_style_fir_taps(
 ) -> np.ndarray:
     """Design a windowed-sinc FIR bandpass with MNE-default geometry.
 
-    MNE ``filter_data`` defaults: hamming window, transition bandwidths
-    ``min(max(f*0.25, 2), f)`` (low) / ``min(max(f*0.25, 2), nyq-f)``
-    (high), filter length ``3.3 / min(trans_bw) * sfreq`` rounded up to
-    odd. Built with ``scipy.signal.firwin`` — functionally equivalent to
-    MNE's design for the band-pass case used by the CSP+SVM baseline.
+    MNE ``filter_data`` defaults reproduced: hamming window; transition
+    bandwidths ``min(max(f*0.25, 2), f)`` (low) / ``min(max(f*0.25, 2),
+    nyq-f)`` (high); filter length ``3.3 / min(trans_bw) * sfreq``
+    rounded to odd; and — the part a bare ``firwin(f)`` call gets wrong —
+    MNE's documented band-edge convention: ``l_freq``/``h_freq`` are the
+    PASSBAND edges and the half-amplitude (−6 dB) points sit at
+    ``l_freq − l_trans/2`` / ``h_freq + h_trans/2``, i.e. the transition
+    bands lie entirely OUTSIDE the requested passband. ``firwin`` places
+    −6 dB exactly at its cutoff argument, so the cutoffs passed are the
+    shifted values. The response specs (−6 dB points, hamming 53 dB
+    stopband, 0.2% passband ripple) are pinned by
+    ``tests/test_ops.py::TestMNfirResponse``.
     """
     from scipy.signal import firwin
 
     nyq = sfreq / 2.0
-    widths = []
+    lt = ht = None
     if l_freq is not None:
         lt = l_trans_bandwidth or min(max(l_freq * 0.25, 2.0), l_freq)
-        widths.append(lt)
     if h_freq is not None:
         ht = h_trans_bandwidth or min(max(h_freq * 0.25, 2.0), nyq - h_freq)
-        widths.append(ht)
-    trans = min(widths)
+    trans = min(w for w in (lt, ht) if w is not None)
     n = int(round(3.3 / trans * sfreq))
     n |= 1  # odd length → exact zero-phase
     if l_freq is not None and h_freq is not None:
-        return firwin(n, [l_freq, h_freq], fs=sfreq, pass_zero=False, window="hamming")
+        return firwin(
+            n, [l_freq - lt / 2.0, h_freq + ht / 2.0],
+            fs=sfreq, pass_zero=False, window="hamming",
+        )
     if h_freq is not None:
-        return firwin(n, h_freq, fs=sfreq, pass_zero=True, window="hamming")
-    return firwin(n, l_freq, fs=sfreq, pass_zero=False, window="hamming")
+        return firwin(n, h_freq + ht / 2.0, fs=sfreq, pass_zero=True, window="hamming")
+    return firwin(n, l_freq - lt / 2.0, fs=sfreq, pass_zero=False, window="hamming")
 
 
 def bandpass_filter(
