@@ -34,6 +34,13 @@ def build_parser():
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SUBJECTS")
     p.add_argument("--synthetic_trials", type=int, default=60)
     p.add_argument(
+        "--augment", action="store_true",
+        help="train-time noise + channel dropout inside the jitted train "
+        "step (ops.augment under the engine's PRNG; eval untouched)",
+    )
+    p.add_argument("--noise_sigma", type=float, default=0.1)
+    p.add_argument("--ch_drop", type=float, default=0.1)
+    p.add_argument(
         "--subject_group", type=int, default=1,
         help="subjects trained per stacked group (TSception's activations "
         "are ~25x FAST's, so the full subject stack does not fit one "
@@ -116,6 +123,12 @@ def main(argv=None):
 
     n_ch, n_t = X.shape[2], X.shape[3]
     model = make_tsception_model(n_ch, n_t, n_classes=5, remat=True)
+    if args.augment:
+        from imagined_speech_decoding_tpu.models.api import make_augmented_model
+
+        model = make_augmented_model(model, args.noise_sigma, args.ch_drop)
+        print(f"augment: noise_sigma={args.noise_sigma} ch_drop={args.ch_drop} "
+              "(train step only)")
     tc = TrainConfig(
         max_epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.lr, warmup_epochs=0, final_lr_scale=1.0,

@@ -185,3 +185,13 @@ class TestTrainBaselinesCLI:
 
         with pytest.raises(SystemExit):
             main(["--pipeline", "bandpower_mlp", "--synthetic", "1", "--augment"])
+
+    def test_augment_flag_on_raw_input_clis(self):
+        """The raw-EEG training CLIs all expose the augmentation flags."""
+        from imagined_speech_decoding_tpu.cli import train_fast, train_tsception
+
+        for mod in (train_fast, train_tsception):
+            args = mod.build_parser().parse_args(
+                ["--augment", "--noise_sigma", "0.2", "--ch_drop", "0.05"]
+            )
+            assert args.augment and args.noise_sigma == 0.2 and args.ch_drop == 0.05
