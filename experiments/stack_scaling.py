@@ -42,7 +42,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_point(n_models: int, corpus_dtype, x_flat, y_flat, cfg, model):
+def run_point(n_models: int, x_flat, y_flat, cfg, model):
     from imagined_speech_decoding_tpu.profiling import sync_scalar
     from imagined_speech_decoding_tpu.train.cv import build_cv_index_stack, stacked_init
     from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
@@ -62,20 +62,18 @@ def run_point(n_models: int, corpus_dtype, x_flat, y_flat, cfg, model):
         warmup_epochs=min(10, EPOCHS), data_dtype=jnp.bfloat16,
     )
     run = jax.jit(lambda *a: fit_many(fit, *a))
-    xc = x_flat.astype(corpus_dtype)
-    sync_scalar(xc)
     t0 = time.perf_counter()
-    warm = run(keys, params0, state0, tidx, vidx, xc, y_flat)
+    warm = run(keys, params0, state0, tidx, vidx, x_flat, y_flat)
     float(jnp.sum(warm.best_val_acc))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = run(keys, params0, state0, tidx, vidx, xc, y_flat)
+    res = run(keys, params0, state0, tidx, vidx, x_flat, y_flat)
     float(jnp.sum(res.best_val_acc))
     dt = time.perf_counter() - t0
     windows = n_models * EPOCHS * (n_train + n_val) * cfg.n_tokens
     return {
         "models": n_models,
-        "corpus_dtype": str(jnp.dtype(corpus_dtype).name),
+        "corpus_dtype": str(jnp.dtype(x_flat.dtype).name),
         "fit_s": round(dt, 3),
         "windows_per_s": round(windows / max(dt, 1e-9), 1),
         "compile_s": round(compile_s, 2),
@@ -99,17 +97,22 @@ def main():
     model = make_fast_model(
         cfg, compute_dtype=jnp.bfloat16, remat=True, head_micro_batch=256
     )
+    dt = jnp.bfloat16 if args.corpus_dtype == "bf16" else jnp.float32
+    # Generate + convert in ONE jitted program so HBM never holds both
+    # the f32 and bf16 corpora (a stray f32 reference here is -1.07 GB
+    # of the headroom the experiment exists to measure).
     x_flat, y_flat = jax.jit(
-        lambda k: synthetic_trials_device(
+        lambda k: (
+            lambda xy: (xy[0].astype(dt), xy[1])
+        )(synthetic_trials_device(
             k, N_SUBJECTS * N_TRIALS, cfg.n_channels, cfg.seq_len, cfg.n_classes
-        )
+        ))
     )(jax.random.PRNGKey(0))
     sync_scalar(x_flat)
 
-    dt = jnp.bfloat16 if args.corpus_dtype == "bf16" else jnp.float32
     for m in args.models:
         try:
-            out = run_point(m, dt, x_flat, y_flat, cfg, model)
+            out = run_point(m, x_flat, y_flat, cfg, model)
         except Exception as e:  # noqa: BLE001 — OOM is a data point here
             out = {
                 "models": m,

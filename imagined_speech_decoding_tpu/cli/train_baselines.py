@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh", type=str, default="none", choices=["none", "model", "data", "2d"],
         help="device-mesh strategy (see isd-train-fast --help)",
     )
+    p.add_argument(
+        "--subject_group", type=int, default=None,
+        help="subjects trained per stacked group (memory lever for models "
+        "whose activations don't fit the full subject x fold stack in "
+        "HBM — e.g. cnn_bilstm's conv frontend at the real geometry; "
+        "grouped runs draw the identical RNG streams as ungrouped)",
+    )
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SUBJECTS",
                    help="run on synthetic data with N subjects (no dataset needed)")
     p.add_argument("--synthetic_trials", type=int, default=60)
@@ -132,6 +139,7 @@ def main(argv=None):
         checkpoint_dir=os.path.join(out_dir, "checkpoints"),
         resume=args.resume,
         mesh_axis=None if args.mesh == "none" else args.mesh,
+        subject_group_size=args.subject_group,
     )
 
     print("\n" + "=" * 60)

@@ -180,6 +180,23 @@ class TestTrainBaselinesCLI:
             assert os.path.exists(os.path.join(sub, "best_subject.npz"))
             assert os.path.exists(os.path.join(sub, "test_predictions.csv"))
 
+    def test_subject_group_produces_same_artifact_tree(self, tmp_path):
+        """--subject_group (the HBM lever for cnn_bilstm at real
+        geometry) still writes the full per-subject tree."""
+        from imagined_speech_decoding_tpu.cli.train_baselines import main
+
+        out = str(tmp_path / "grouped")
+        result = main([
+            "--pipeline", "cnn_bilstm", "--synthetic", "2",
+            "--synthetic_trials", "12", "--epochs", "1", "--batch_size", "8",
+            "--n_folds", "3", "--precision", "f32", "--subject_group", "1",
+            "--output_dir", out,
+        ])
+        assert len(result.summary) == 2
+        for sid in ("01", "02"):
+            assert os.path.exists(os.path.join(out, f"sub-{sid}", "fold_metrics.csv"))
+        assert os.path.exists(os.path.join(out, "global_test_predictions.csv"))
+
     def test_augment_rejected_for_feature_pipelines(self):
         from imagined_speech_decoding_tpu.cli.train_baselines import main
 
