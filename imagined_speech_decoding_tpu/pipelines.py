@@ -47,18 +47,32 @@ def bandpower_featurize(
     h_freq: float = 70.0,
     notch: float = 60.0,
     epoch_seconds: float = 2.0,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Config #1 features: notch + band-pass -> per-channel 5-band
     log-power, ``(..., C, T) -> (..., C * 5)``.
 
     The Welch segmentation length IS the config's "2 s epochs": power is
-    estimated on 2-s Hann segments at 50% overlap and averaged.
+    estimated on 2-s Hann segments at 50% overlap and averaged. Both
+    zero-phase IIR stages run as SOS cascades through the same backend
+    dispatch as the serving/bench paths: the Pallas biquad kernel on TPU
+    (bit-identical to the scan path, far cheaper to compile), the
+    ``lax.scan`` implementation elsewhere.
     """
-    from .ops.filters import bandpass_filter, notch_filter
+    from scipy.signal import tf2sos
+
+    from .ops.filters import butter_sos, notch_ba, sosfiltfilt
     from .ops.spectral import log_bandpower_features
 
-    x = notch_filter(x, sfreq, notch)
-    x = bandpass_filter(x, sfreq, l_freq, h_freq, method="iir")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .ops.pallas import sosfiltfilt_pallas as _sff
+    else:
+        _sff = sosfiltfilt
+
+    x = _sff(tf2sos(*notch_ba(sfreq, notch)), x)
+    x = _sff(butter_sos(sfreq, l_freq, h_freq), x)
     nper = int(round(epoch_seconds * sfreq))
     return log_bandpower_features(x, sfreq, nperseg=min(nper, x.shape[-1]))
 
