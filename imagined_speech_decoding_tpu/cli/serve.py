@@ -158,11 +158,37 @@ def build_server(args):
     )
 
 
+def _warn_if_exposed_unauthenticated(args) -> None:
+    """Without --auth-token, RELOAD and SHUTDOWN are open to any peer
+    that can reach the socket — fine on loopback, a footgun on a
+    routable interface. Warn loudly rather than refuse: single-tenant
+    lab networks are the common non-loopback deployment, and read-only
+    DECODE is intentionally always open."""
+    import ipaddress
+    import sys
+
+    if args.auth_token is not None:
+        return
+    try:
+        loopback = ipaddress.ip_address(args.host).is_loopback
+    except ValueError:  # hostname: "localhost" is the loopback spelling
+        loopback = args.host == "localhost"
+    if not loopback:
+        print(
+            f"WARNING: serving on non-loopback {args.host} with no "
+            "--auth-token: any network peer can RELOAD or SHUT DOWN this "
+            "daemon. Set --auth-token (or bind 127.0.0.1).",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from imagined_speech_decoding_tpu.cli import enable_cache
 
     enable_cache()
+    _warn_if_exposed_unauthenticated(args)
     server = build_server(args)
     host, port = server.address
     meta = server.info

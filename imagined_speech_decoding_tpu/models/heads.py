@@ -158,8 +158,9 @@ def _conv4_impl(which: str) -> str:
     ``ISD_CONV4_FIRST`` (first conv: ``gemm`` patch-GEMM | ``conv`` native
     XLA conv) and ``ISD_CONV4_TAILS`` (``pertap`` accumulated shifted
     GEMMs | ``patches`` K-tap patch-stack GEMM | ``conv`` native XLA
-    grouped conv | ``nhwc2`` channels-last end-to-end tails | ``conv2``
-    composed single conv | ``fullseq`` /
+    grouped conv | ``dense`` de-grouped block-diagonal dense conv
+    (Z x FLOPs for full MXU lanes) | ``nhwc2`` channels-last end-to-end
+    tails | ``conv2`` composed single conv | ``fullseq`` /
     ``fullseq2`` full-sequence tails). Defaults are the measured-fastest
     on the available chip (train: ``conv``; inference: ``conv2`` — see
     ``_conv4_tails_impl``): the program is HBM-bandwidth-bound, and
@@ -426,6 +427,30 @@ def _conv4_tails(params, h, impl=None):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             h = out.transpose(0, 3, 1, 2).reshape(b, z, o, t1)
+        elif impl == "dense":
+            # De-grouped block-diagonal dense conv: the grouped tails'
+            # per-zone O=32-wide outputs use 32 of the MXU's 128 lanes
+            # and contract only I*K deep — the structural MFU ceiling
+            # analyzed in docs/PERFORMANCE.md. This variant embeds the Z
+            # grouped kernels on the block diagonal of ONE dense
+            # (Z*O, Z*I, K) kernel: Z x the FLOPs, but full-lane (Z*O)
+            # outputs and a (Z*I*K)-deep contraction. Math is exact (the
+            # off-block weights are zero), and gradients stay exact and
+            # GROUPED: the dense kernel is a zero-preserving scatter of
+            # the grouped params, so off-block weight cotangents vanish
+            # in the scatter's VJP.
+            o_s, i_s = w.shape[1], w.shape[2]
+            eye_z = jnp.eye(z, dtype=w.dtype)
+            wd = (w[:, :, None, :, :] * eye_z[:, None, :, None, None]).reshape(
+                z * o_s, z * i_s, kk
+            )
+            out = jax.lax.conv_general_dilated(
+                h.reshape(b, z * i_s, 1, t1),
+                wd[:, :, None, :],
+                window_strides=(1, 1),
+                padding=[(0, 0), (kk // 2, kk // 2)],
+            )
+            h = out.reshape(b, z, o_s, t1)
         else:  # "conv" (also the fallback for "fullseq" in windowed contexts)
             # One native grouped conv (group = zone): XLA's conv emitter
             # tiles in VMEM without materializing shifted copies.

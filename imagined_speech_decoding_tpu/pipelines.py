@@ -25,6 +25,7 @@ reference performs comparable spectral work per-trial on the host
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
@@ -104,12 +105,31 @@ def stft_image_featurize(
     freqs, _, zxx = stft(x, fs=sfreq, nperseg=nperseg, noverlap=nperseg - step)
     logmag = jnp.log(jnp.abs(zxx) + 1e-8)  # (..., C, F, N)
     rows = []
-    for lo, hi in BANDS.values():
+    band_bins = []
+    for name, (lo, hi) in BANDS.items():
         sel = (freqs >= lo) & (freqs < hi)
         if not sel.any():  # degenerate band at tiny nperseg: nearest bin
             sel = np.zeros_like(sel)
             sel[np.argmin(np.abs(freqs - (lo + hi) / 2))] = True
+            warnings.warn(
+                f"stft_image_featurize: band {name} [{lo}, {hi}) Hz contains "
+                f"no rfft bin at nperseg={nperseg}, sfreq={sfreq} — falling "
+                "back to its nearest bin. Increase nperseg (frequency "
+                f"resolution is {freqs[1] - freqs[0]:.2f} Hz/bin).",
+                stacklevel=2,
+            )
+        band_bins.append((name, tuple(np.flatnonzero(sel))))
         rows.append(logmag[..., sel, :].mean(-2))  # (..., C, N)
+    # Two bands resolving to the SAME bin set would train on duplicated
+    # input planes — make that geometry loud instead of silent.
+    for (na, ba), (nb, bb) in zip(band_bins, band_bins[1:]):
+        if ba == bb:
+            warnings.warn(
+                f"stft_image_featurize: bands {na} and {nb} resolve to "
+                f"identical rfft bins {ba} — their input planes are "
+                "duplicates. Increase nperseg or drop a band.",
+                stacklevel=2,
+            )
     return jnp.stack(rows, axis=-3)  # (..., n_bands, C, N)
 
 

@@ -59,6 +59,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -88,10 +89,24 @@ class ProtocolError(RuntimeError):
     """Malformed frame (bad magic, truncated payload, bogus lengths)."""
 
 
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    """Read exactly ``n`` bytes or raise ``ConnectionError`` on EOF."""
+def _recv_exact(
+    sock: socket.socket, n: int, deadline: Optional[float] = None
+) -> bytes:
+    """Read exactly ``n`` bytes or raise ``ConnectionError`` on EOF.
+
+    ``deadline`` (a ``time.monotonic()`` instant) bounds the WHOLE read:
+    the socket timeout is re-armed to the remaining budget before every
+    ``recv``, so a peer drip-feeding one byte per timeout window cannot
+    keep resetting the clock — without it, a per-``recv`` timeout bounds
+    only the gap between chunks, and a hostile peer could pin a handler
+    thread for up to MAX_PAYLOAD bytes x the timeout."""
     buf = bytearray()
     while len(buf) < n:
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise socket.timeout("payload deadline exceeded")
+            sock.settimeout(remaining)
         chunk = sock.recv(min(n - len(buf), 1 << 20))
         if not chunk:
             raise ConnectionError(f"peer closed mid-frame ({len(buf)}/{n} bytes)")
@@ -108,9 +123,11 @@ def _recv_frame(
     max_payload: int = MAX_PAYLOAD,
     payload_timeout: Optional[float] = None,
 ) -> Tuple[int, bytes]:
-    """Read one frame. ``payload_timeout`` bounds how long the PAYLOAD
-    may take once its header has arrived (anti-stall); the header wait
-    itself keeps the socket's own timeout (idle connections are fine)."""
+    """Read one frame. ``payload_timeout`` bounds how long the WHOLE
+    PAYLOAD may take once its header has arrived (an absolute deadline
+    across all of its chunks — anti-stall AND anti-drip-feed); the
+    header wait itself keeps the socket's own timeout (idle connections
+    are fine)."""
     magic, msg_type, n = _HDR.unpack(_recv_exact(sock, _HDR.size))
     if magic != MAGIC:
         raise ProtocolError(f"bad magic {magic!r}")
@@ -121,9 +138,10 @@ def _recv_frame(
     if payload_timeout is None:
         return msg_type, _recv_exact(sock, n)
     prev = sock.gettimeout()
-    sock.settimeout(payload_timeout)
     try:
-        return msg_type, _recv_exact(sock, n)
+        return msg_type, _recv_exact(
+            sock, n, deadline=time.monotonic() + payload_timeout
+        )
     except socket.timeout as e:
         raise ProtocolError(
             f"payload stalled (> {payload_timeout}s mid-frame)"
@@ -297,7 +315,18 @@ class DecoderServer:
 
     def _confine_reload_path(self, path: str) -> str:
         """Resolve a RELOAD path under the configured checkpoint root;
-        reject anything that escapes it after symlink/.. resolution."""
+        reject anything that escapes it after symlink/.. resolution.
+
+        Threat-model note: the realpath check happens before
+        ``reload_fn`` opens the file, so a symlink INSIDE the root
+        swapped between check and open could still redirect the read
+        (TOCTOU). The root is a trusted checkpoint directory written by
+        the training pipeline — anyone who can plant symlinks there can
+        already replace the checkpoints themselves — so the check's job
+        is confining honest-but-wrong client paths, not defeating a
+        root-writing attacker. Stricter confinement would need
+        dirfd-relative ``os.open(..., O_NOFOLLOW)`` walks in
+        ``reload_fn`` itself."""
         root = self._reload_root
         assert root is not None  # constructor invariant with reload_fn
         cand = path if os.path.isabs(path) else os.path.join(root, path)

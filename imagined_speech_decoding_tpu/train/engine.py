@@ -96,6 +96,7 @@ def make_fit(
     schedule: Optional[Callable] = None,
     eval_batch_size: Optional[int] = None,
     sweep: bool = False,
+    val_every: int = 1,
 ) -> Callable:
     """Build the single-model fit function (jit/vmap it at the call site).
 
@@ -123,7 +124,26 @@ def make_fit(
     final scale, decay family) becomes a runtime input. Under ``vmap``
     over ``hyper`` this trains a whole hyperparameter grid as ONE
     compiled program — see ``train.sweep``.
+
+    ``val_every=k`` runs the validation pass (and therefore the
+    best-checkpoint / early-stop updates) only every k-th epoch instead
+    of every epoch. The default 1 reproduces Lightning's per-epoch
+    ``ModelCheckpoint(monitor='val_acc')`` exactly; k>1 is an opt-in
+    throughput mode (the per-epoch val pass costs ~20% of step
+    throughput at the production geometry, see docs/PERFORMANCE.md)
+    that coarsens best-checkpoint granularity to k epochs. The TRAIN
+    trajectory is unchanged — epoch keys/shuffles fold in the global
+    epoch counter, not the val cadence — so a ``val_every=k`` run's
+    params equal the ``val_every=1`` run's params exactly; only which
+    epochs could be selected as "best" differs. Skipped epochs record
+    NaN in the ``val_*`` history rows. Requires ``epochs % k == 0``
+    (segment boundaries stay val epochs, so segmented == whole-run
+    holds unchanged).
     """
+    if val_every < 1 or epochs % val_every != 0:
+        raise ValueError(
+            f"val_every must be >= 1 and divide epochs ({epochs}); got {val_every}"
+        )
     spe = num_batches(n_train, batch_size)
     # The LR schedule spans the FULL run; under segmented execution
     # `epochs` is one segment and `total_epochs` the whole schedule
@@ -246,7 +266,12 @@ def make_fit(
         # fit: shuffles, dropout and step keys are identical, making
         # "segmented == whole-run" a true statement about trajectories,
         # not just freeze semantics (tests/test_sweep.py, test_resume.py).
-        def epoch_fn(carry, _):
+        def make_epoch_fn(do_val: bool):
+          # `do_val` is a PYTHON-level static: the no-val variant's XLA
+          # graph simply contains no eval pass (a traced lax.cond would
+          # lower to select under vmap and execute both branches —
+          # saving nothing).
+          def epoch_fn(carry, _):
             (params0_c, mstate0_c, opt_state0_c, best_params, best_ms,
              best_acc, best_ep, ep, stopped) = carry
             ekey = jax.random.fold_in(key, ep)
@@ -321,22 +346,26 @@ def make_fit(
             tr_acc = jnp.trace(cm) / total
             tr_f1 = f1_from_confusion(cm)
 
-            gvidx = jnp.take(val_idx, vidx_c, axis=0)
-            va_loss, va_acc, va_f1 = eval_pass(X, Y, params, mstate, gvidx, vw_c)
+            if do_val:
+                gvidx = jnp.take(val_idx, vidx_c, axis=0)
+                va_loss, va_acc, va_f1 = eval_pass(X, Y, params, mstate, gvidx, vw_c)
 
-            improved = (va_acc > best_acc) & ~halted
-            sel = lambda new, old: jax.tree.map(
-                lambda a, b: jnp.where(improved, a, b), new, old
-            )
-            best_params = sel(params, best_params)
-            best_ms = sel(mstate, best_ms)
-            best_acc = jnp.where(improved, va_acc, best_acc)
-            best_ep = jnp.where(improved, ep, best_ep)
+                improved = (va_acc > best_acc) & ~halted
+                sel = lambda new, old: jax.tree.map(
+                    lambda a, b: jnp.where(improved, a, b), new, old
+                )
+                best_params = sel(params, best_params)
+                best_ms = sel(mstate, best_ms)
+                best_acc = jnp.where(improved, va_acc, best_acc)
+                best_ep = jnp.where(improved, ep, best_ep)
 
-            if early_stop_threshold is not None:
-                stopped = stopped | (va_acc >= early_stop_threshold)
-            if early_stop_patience is not None:
-                stopped = stopped | (ep - best_ep >= early_stop_patience)
+                if early_stop_threshold is not None:
+                    stopped = stopped | (va_acc >= early_stop_threshold)
+                if early_stop_patience is not None:
+                    stopped = stopped | (ep - best_ep >= early_stop_patience)
+            else:
+                nan = jnp.float32(jnp.nan)
+                va_loss = va_acc = va_f1 = nan
 
             out = (tr_loss, tr_acc, tr_f1, va_loss, va_acc, va_f1)
             return (
@@ -344,7 +373,31 @@ def make_fit(
                 best_acc, best_ep, ep + 1, stopped,
             ), out
 
-        carry, hist = jax.lax.scan(epoch_fn, carry, None, length=n_epochs)
+          return epoch_fn
+
+        if val_every == 1:
+            carry, hist = jax.lax.scan(make_epoch_fn(True), carry, None, length=n_epochs)
+        else:
+            # val_every=k: scan over blocks of k epochs — k-1 val-free
+            # epochs (whose XLA graph contains no eval pass at all) then
+            # one val epoch. Train math/keys are epoch-counter-driven and
+            # identical to the k=1 program; only the val/best cadence
+            # changes (see make_fit docstring).
+            assert n_epochs % val_every == 0, (n_epochs, val_every)
+            ep_noval, ep_val = make_epoch_fn(False), make_epoch_fn(True)
+
+            def block_fn(carry, _):
+                carry, h_a = jax.lax.scan(ep_noval, carry, None, length=val_every - 1)
+                carry, h_b = ep_val(carry, None)
+                return carry, tuple(
+                    jnp.concatenate([a, b[None]]) for a, b in zip(h_a, h_b)
+                )
+
+            carry, hist_b = jax.lax.scan(
+                block_fn, carry, None, length=n_epochs // val_every
+            )
+            # (n_blocks, k) per metric -> flat (n_epochs,) epoch axis.
+            hist = tuple(x.reshape(-1) for x in hist_b)
         history = dict(zip(["loss", "acc", "f1", "val_loss", "val_acc", "val_f1"], hist))
         return carry, history
 
@@ -384,7 +437,16 @@ def make_fit(
     fit.result = _result
     fit.epochs_per_call = epochs
     fit.eval_batch_size = eval_batch_size
+    fit.val_every = val_every
     return fit
+
+
+@jax.jit
+def _tree_copy(tree):
+    """Fresh device buffers for every leaf (one fused program, one
+    dispatch). Used to decouple the async checkpoint writer's snapshot
+    from the donated segment carry."""
+    return jax.tree.map(jnp.copy, tree)
 
 
 def fit_many(fit_fn: Callable, keys, params0, state0, train_idx, val_idx, X, Y) -> FitResult:
@@ -455,16 +517,27 @@ def fit_many_segmented(
         # make_fit(sweep=True)); it is constant across segments.
         if hyper is None:
             raise ValueError("sweep-mode fit_fn requires hyper={'lr_scale', 'wd_scale'}")
+        # donate_argnums: the carry (~300 MB at the 75-model production
+        # stack: params + opt state + best snapshot) is dead the moment
+        # the segment returns its successor — donation lets XLA alias
+        # the output into the input buffers instead of re-allocating the
+        # stack every segment call.
         _seg = jax.jit(
-            jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, 0, None, None))
+            jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, 0, None, None)),
+            donate_argnums=(1,),
         )
         segment = lambda c, k, ti, vi, Xc, Yc: _seg(hyper, c, k, ti, vi, Xc, Yc)
     else:
         segment = jax.jit(
-            jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, None, None))
+            jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, None, None)),
+            donate_argnums=(0,),
         )
 
-    carry = init
+    # The segment call donates its carry argument, and the initial carry
+    # built by vmap(init_carry) can alias the caller's params0/state0
+    # buffers (identity outputs) — donate a private copy instead so the
+    # caller's arrays survive the first segment.
+    carry = _tree_copy(init)
     histories = []
     start_seg = 0
     ckpt_path = os.path.join(checkpoint_dir, "segment_carry.npz") if checkpoint_dir else None
@@ -503,9 +576,16 @@ def fit_many_segmented(
         if ckpt_path and ((s + 1) % max(checkpoint_every, 1) == 0 or s + 1 == n_segments):
             jax.block_until_ready(hist)
             _join_writer()
+            # The NEXT segment call DONATES the carry's buffers (see the
+            # jit above), which deletes the jax Arrays the writer thread
+            # would still be reading. Hand the writer its own device-side
+            # copy: one fused jitted tree-copy (a single dispatch; ~300 MB
+            # of HBM-to-HBM traffic at the production stack, microseconds
+            # at the hardware's streaming rate) — NOT a host fetch, which
+            # would serialize a ~300 MB D2H transfer into the loop.
             writer = threading.Thread(
                 target=_save_async,
-                args=(ckpt_path, carry, list(histories), s + 1),
+                args=(ckpt_path, _tree_copy(carry), list(histories), s + 1),
                 daemon=True,
             )
             writer.start()

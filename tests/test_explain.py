@@ -198,3 +198,63 @@ class TestPlots:
         ]
         for p in paths:
             assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+class TestTorchExpectedGradientsOracle:
+    """Numeric cross-check of the attribution math against an
+    INDEPENDENT torch implementation of SHAP GradientExplainer's
+    expected gradients (``/root/reference/scripts/explain_fast.py:75-123``
+    semantics: per draw, a random background trial and a random
+    interpolation point; gradient there times (x - bg); averaged),
+    differentiated through the transplanted REFERENCE torch FAST —
+    so the model, the autodiff, and the estimator are all independent
+    of the jax side. Only the (bg_idx, alpha) draws are shared, since
+    the estimator is defined conditional on them (VERDICT r3 item 2)."""
+
+    def test_expected_gradients_match_torch(self):
+        torch = pytest.importorskip("torch")
+        if not os.path.exists("/root/reference/src/fast/models/fast.py"):
+            pytest.skip("reference repo not mounted")
+        import test_torch_parity as tp
+
+        ref = tp._load_ref_fast()
+        cfg, tm, params, state, x_np = tp._make_pair(ref, "Conv4Layers", 100, 250, 50)
+        rng = np.random.default_rng(7)
+        bg_np = rng.normal(size=(6, cfg.n_channels, cfg.seq_len)).astype(np.float32)
+        target_np = np.array([0, 2, 4, 1])
+
+        # jax side, and the draws it used (same key derivation as
+        # explain.attribution.expected_gradients)
+        key = jax.random.PRNGKey(3)
+        n_samples = 8
+        attr_jax = expected_gradients(
+            lambda p, s, xx, *, train, rng: tp.fast_apply(p, s, xx, cfg, train=train),
+            params, state, jnp.asarray(x_np), jnp.asarray(bg_np),
+            jnp.asarray(target_np), key, n_samples=n_samples,
+        )
+        kb, ka = jax.random.split(key)
+        bg_idx = np.asarray(
+            jax.random.randint(kb, (n_samples, x_np.shape[0]), 0, bg_np.shape[0])
+        )
+        alphas = np.asarray(jax.random.uniform(ka, (n_samples, x_np.shape[0])))
+
+        # torch side: ~20 lines, differentiated through the reference model
+        x_t = torch.from_numpy(x_np)
+        bg_t = torch.from_numpy(bg_np)
+        tgt_t = torch.from_numpy(target_np).long()
+        total = torch.zeros_like(x_t)
+        for s in range(n_samples):
+            bg = bg_t[torch.from_numpy(bg_idx[s].copy()).long()]  # (B, C, T)
+            a = torch.from_numpy(alphas[s].copy()).float()[:, None, None]
+            xi = (bg + a * (x_t - bg)).detach().requires_grad_(True)
+            score = tm(xi).gather(1, tgt_t[:, None]).sum()
+            (g,) = torch.autograd.grad(score, xi)
+            total += g * (x_t - bg)
+        attr_torch = (total / n_samples).numpy()
+
+        a_jax = np.asarray(attr_jax)
+        assert a_jax.shape == attr_torch.shape == x_np.shape
+        # elementwise agreement; atol scaled to the attribution magnitude
+        # (f32 through two independent autodiff pipelines)
+        scale = np.abs(attr_torch).max()
+        np.testing.assert_allclose(a_jax, attr_torch, rtol=1e-3, atol=1e-4 * scale)

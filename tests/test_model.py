@@ -241,8 +241,8 @@ class TestFusedFullseqEquivalence:
     @pytest.mark.parametrize("first", ["gemm", "conv"])
     @pytest.mark.parametrize(
         "tails",
-        ["patches", "pertap", "conv", "convnhwc", "nhwc2", "fullseq", "conv2",
-         "conv2c", "fullseq2"],
+        ["patches", "pertap", "conv", "convnhwc", "nhwc2", "dense", "fullseq",
+         "conv2", "conv2c", "fullseq2"],
     )
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
@@ -264,7 +264,7 @@ class TestFusedFullseqEquivalence:
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
     @pytest.mark.parametrize(
-        "tails", [None, "fullseq", "conv2", "conv2c", "fullseq2", "nhwc2"]
+        "tails", [None, "fullseq", "conv2", "conv2c", "fullseq2", "nhwc2", "dense"]
     )
     def test_fullseq_gradients_match_windowed(self, tails, monkeypatch):
         from imagined_speech_decoding_tpu.models.heads import (

@@ -524,6 +524,33 @@ class TestServerHardening:
             with DecoderClient(*srv.address) as c:
                 c.shutdown_server()  # lab-bench default: open
 
+    def test_midframe_drip_feed_hits_absolute_deadline(self, served_model):
+        """io_timeout is an ABSOLUTE payload deadline: a peer trickling
+        bytes faster than the per-recv timeout still gets cut off once
+        the whole frame exceeds the budget (advisor r3: a drip-feeder
+        must not reset the clock chunk by chunk)."""
+        import time as _time
+
+        cfg, _, _, _, dec = served_model
+        with _make_server(cfg, dec, io_timeout=0.6) as srv:
+            with socket.create_connection(srv.address, timeout=10) as s:
+                s.sendall(_HDR.pack(MAGIC, MSG_DECODE, 100))
+                t0 = _time.monotonic()
+                try:
+                    for _ in range(50):  # 1 byte per 0.1 s < io_timeout apart
+                        s.sendall(b"\x00")
+                        _time.sleep(0.1)
+                except OSError:
+                    pass  # server already dropped us mid-drip
+                s.settimeout(10)
+                try:
+                    rsp, data = _recv_frame(s)
+                    assert rsp == RSP_ERR and b"stalled" in data
+                except (ConnectionError, OSError):
+                    pass  # error frame may be lost to the reset — drop is what matters
+                elapsed = _time.monotonic() - t0
+                assert elapsed < 4.0, f"drip-feed survived {elapsed:.1f}s"
+
     def test_midframe_stall_drops_connection(self, served_model):
         """A peer that sends a header then stalls the payload is cut off
         after io_timeout instead of pinning the handler thread."""

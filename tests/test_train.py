@@ -219,6 +219,64 @@ class TestEngine:
         assert preds.max() < cfg.n_classes
 
 
+class TestValEvery:
+    """make_fit(val_every=k): sparse validation must not change the
+    train trajectory, and its val/best semantics must equal the dense
+    run's restricted to the val epochs (VERDICT r3 item 4)."""
+
+    @pytest.fixture(scope="class")
+    def fitted_sparse(self, tiny_setup):
+        cfg, model, X, Y = tiny_setup
+        n_train, n_val = 40, 20
+        fit = make_fit(
+            model.apply, cfg.n_classes, epochs=EPOCHS, batch_size=16,
+            n_train=n_train, n_val=n_val, learning_rate=2e-3, warmup_epochs=2,
+            val_every=5,
+        )
+        rng = np.random.default_rng(0)
+        perms = np.stack([rng.permutation(60) for _ in range(2)])
+        tidx = jnp.asarray(perms[:, :n_train])
+        vidx = jnp.asarray(perms[:, n_train:])
+        params0, state0 = stacked_init(model, jax.random.PRNGKey(1), 2)
+        keys = jax.random.split(jax.random.PRNGKey(2), 2)
+        res = jax.jit(lambda *a: fit_many(fit, *a))(keys, params0, state0, tidx, vidx, X, Y)
+        return jax.block_until_ready(res)
+
+    def test_train_trajectory_identical(self, fitted, fitted_sparse):
+        """Epoch keys fold in the global epoch counter, so the k=5 run's
+        shuffles/params are exactly the k=1 run's."""
+        for k in ("loss", "acc", "f1"):
+            np.testing.assert_array_equal(
+                np.asarray(fitted.history[k]), np.asarray(fitted_sparse.history[k])
+            )
+        for a, b in zip(jax.tree.leaves(fitted.params), jax.tree.leaves(fitted_sparse.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_val_cadence(self, fitted, fitted_sparse):
+        """val metrics: NaN on skipped epochs, equal to the dense run's
+        on val epochs (same params -> same eval)."""
+        val_eps = np.arange(EPOCHS) % 5 == 4
+        for k in ("val_loss", "val_acc", "val_f1"):
+            sparse = np.asarray(fitted_sparse.history[k], dtype=np.float64)
+            dense = np.asarray(fitted.history[k], dtype=np.float64)
+            assert np.isnan(sparse[:, ~val_eps]).all()
+            np.testing.assert_allclose(sparse[:, val_eps], dense[:, val_eps], atol=1e-6)
+
+    def test_best_restricted_to_val_epochs(self, fitted, fitted_sparse):
+        va = np.asarray(fitted.history["val_acc"], dtype=np.float64)
+        val_eps = np.where(np.arange(EPOCHS) % 5 == 4)[0]
+        for mi in range(va.shape[0]):
+            best = va[mi, val_eps].max()
+            assert np.asarray(fitted_sparse.best_val_acc)[mi] == pytest.approx(best, abs=1e-6)
+            assert np.asarray(fitted_sparse.best_epoch)[mi] in val_eps
+
+    def test_non_divisor_raises(self, tiny_setup):
+        cfg, model, X, Y = tiny_setup
+        with pytest.raises(ValueError):
+            make_fit(model.apply, cfg.n_classes, epochs=25, batch_size=16,
+                     n_train=40, n_val=20, val_every=4)
+
+
 class TestCheckpoint:
     def test_state_dict_round_trip(self, small_config, tmp_dir):
         model = make_fast_model(small_config)
