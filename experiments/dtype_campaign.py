@@ -1,0 +1,128 @@
+"""Production-dtype accuracy evidence (VERDICT r3 item 1).
+
+Runs the FULL synthetic campaign twice — identical corpus, label noise,
+seeds, splits and epochs; only the compute dtype differs (bf16 = the
+production policy and the reference's own `bf16-mixed`,
+/root/reference/scripts/train_fast.py:135; f32 = the oracle dtype the
+CPU parity tests run in) — then compares per-subject accuracies.
+
+The twin campaigns share every random draw: the corpus comes from
+`synthetic_corpus(0, ...)`, label flips from a fixed generator, KFold
+splits and init/epoch keys from `--seed 42`. The ONLY difference is the
+dtype the forward/backward runs in, so the per-subject |Δ| table below
+IS the dtype effect at full campaign scale (15 subj x 5 folds x 200
+epochs, full 64-ch geometry).
+
+`--label_noise 0.25` keeps accuracy mid-band (saturated-at-1.0 runs
+would compress any dtype effect to zero — see bench.py's convergence
+band rationale).
+
+f32 runs at half the head chunk: the 75-model f32 stack does not fit at
+256 windows (bf16 production policy exists partly for this). Chunking
+is math-exact (equivalence-tested), so it cannot affect the comparison.
+
+Usage (TPU host; ~35-45 min total):
+
+    python experiments/dtype_campaign.py [--epochs 200] [--out DIR]
+
+Writes DIR/dtype_campaign.json and prints the per-subject delta table.
+Exits nonzero if max per-subject |Δ test acc| > 1 pt.
+"""
+
+import argparse
+import csv
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_campaign(precision: str, head_chunk: int, epochs: int, out_dir: str):
+    cmd = [
+        sys.executable, "-m", "imagined_speech_decoding_tpu.cli.train_fast",
+        "--synthetic", "15", "--synthetic_trials", "350",
+        "--epochs", str(epochs), "--remat",
+        "--head_chunk", str(head_chunk),
+        "--precision", precision, "--label_noise", "0.25",
+        "--seed", "42", "--output_dir", out_dir,
+    ]
+    print(f"[dtype_campaign] {precision}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    subprocess.run(cmd, cwd=REPO, env=env, check=True)
+    return time.time() - t0
+
+
+def read_summary(out_dir: str):
+    path = os.path.join(out_dir, "summary_per_subject.csv")
+    rows = {}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            sid = row.get("Subject") or row.get("subject")
+            rows[sid] = {
+                "val": float(row["Best_Val_Acc"]),
+                "test": float(row["Test_Acc"]),
+            }
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--out", type=str, default="/tmp/r4_dtype_campaign")
+    p.add_argument("--skip-run", action="store_true",
+                   help="compare existing output dirs only")
+    args = p.parse_args()
+
+    dirs = {prec: os.path.join(args.out, prec) for prec in ("bf16", "f32")}
+    times = {}
+    if not args.skip_run:
+        times["bf16"] = run_campaign("bf16", 256, args.epochs, dirs["bf16"])
+        times["f32"] = run_campaign("f32", 128, args.epochs, dirs["f32"])
+
+    s16, s32 = read_summary(dirs["bf16"]), read_summary(dirs["f32"])
+    subjects = sorted(s16)
+    table = []
+    print(f"{'Subject':>8} {'bf16 test':>10} {'f32 test':>10} {'Δ test':>8} "
+          f"{'bf16 val':>9} {'f32 val':>9} {'Δ val':>8}")
+    for sid in subjects:
+        dt = s16[sid]["test"] - s32[sid]["test"]
+        dv = s16[sid]["val"] - s32[sid]["val"]
+        table.append({
+            "subject": sid,
+            "bf16_test": s16[sid]["test"], "f32_test": s32[sid]["test"],
+            "delta_test": dt,
+            "bf16_val": s16[sid]["val"], "f32_val": s32[sid]["val"],
+            "delta_val": dv,
+        })
+        print(f"{sid:>8} {s16[sid]['test']:>10.4f} {s32[sid]['test']:>10.4f} "
+              f"{dt:>+8.4f} {s16[sid]['val']:>9.4f} {s32[sid]['val']:>9.4f} "
+              f"{dv:>+8.4f}")
+    max_dt = max(abs(r["delta_test"]) for r in table)
+    mean_dt = sum(r["delta_test"] for r in table) / len(table)
+    mean16 = sum(r["bf16_test"] for r in table) / len(table)
+    mean32 = sum(r["f32_test"] for r in table) / len(table)
+    out = {
+        "epochs": args.epochs,
+        "mean_test_acc": {"bf16": mean16, "f32": mean32},
+        "mean_delta_test": mean_dt,
+        "max_abs_delta_test": max_dt,
+        "campaign_wall_s": {k: round(v, 1) for k, v in times.items()},
+        "per_subject": table,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "dtype_campaign.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"mean test acc: bf16 {mean16:.4f} vs f32 {mean32:.4f} "
+          f"(mean Δ {mean_dt:+.4f}); max per-subject |Δ| = {max_dt:.4f}")
+    if max_dt > 0.01 + 1e-9:
+        print(f"FAIL: max per-subject |Δ test acc| {max_dt:.4f} > 1 pt")
+        sys.exit(1)
+    print("OK: production-dtype accuracy within 1 pt of f32 per subject")
+
+
+if __name__ == "__main__":
+    main()

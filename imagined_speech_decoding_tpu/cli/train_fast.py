@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="run on synthetic data with N subjects (no dataset needed)",
     )
     p.add_argument("--synthetic_trials", type=int, default=60)
+    p.add_argument(
+        "--label_noise", type=float, default=0.0,
+        help="synthetic mode: fraction of labels re-drawn uniformly "
+             "(deterministic; keeps campaign accuracy off the ceiling)",
+    )
     return p
 
 
@@ -153,6 +158,14 @@ def load_data(args):
         s = args.synthetic
         subjects = [f"{i + 1:02d}" for i in range(s)]
         X, Y = synthetic_corpus(0, s, args.synthetic_trials, 64, 800)
+        if args.label_noise:
+            # Deterministic (seed-fixed, precision-independent) label
+            # flips: keeps campaign accuracy off the 1.0 ceiling so
+            # e.g. the f32-vs-bf16 dtype-delta measurement compares
+            # mid-band accuracies, not saturated ones.
+            rng = np.random.default_rng(12345)
+            flip = rng.random(Y.shape) < args.label_noise
+            Y = np.where(flip, rng.integers(0, 5, Y.shape), Y).astype(Y.dtype)
         test = {
             sid: (X[i, : args.synthetic_trials // 3], Y[i, : args.synthetic_trials // 3])
             for i, sid in enumerate(subjects)

@@ -61,13 +61,73 @@ def _load_mat73_test(path: str) -> np.ndarray:
     return _edge_pad_time(x)
 
 
+def _read_xlsx_stdlib(path: str):
+    """Minimal OOXML ``.xlsx`` reader on the stdlib (zipfile + etree) →
+    header-less ``pandas.DataFrame`` (like ``pd.read_excel(header=None)``).
+
+    The answer sheet is a real Excel workbook but the usual engine
+    (openpyxl) is an optional heavy dependency; the subset of OOXML the
+    sheet actually uses — one worksheet of numeric, shared-string and
+    inline-string cells — is ~40 lines of stdlib parsing. Supports ``t``
+    of ``n`` (number), ``s`` (shared string), ``str`` (formula-cached
+    string) and ``inlineStr``.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    m_ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    q = lambda tag: f"{{{m_ns}}}{tag}"
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        shared = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(q("si")):
+                shared.append("".join(t.text or "" for t in si.iter(q("t"))))
+        sheets = sorted(n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        if not sheets:
+            raise ValueError(f"{path}: no worksheets found")
+        cells, max_r, max_c = {}, -1, -1
+        for c in ET.fromstring(z.read(sheets[0])).iter(q("c")):
+            ref = re.fullmatch(r"([A-Z]+)(\d+)", c.get("r", ""))
+            if not ref:
+                continue
+            col = 0
+            for ch in ref.group(1):
+                col = col * 26 + (ord(ch) - 64)
+            row, col = int(ref.group(2)) - 1, col - 1
+            t, v = c.get("t", "n"), c.find(q("v"))
+            if t == "inlineStr":
+                is_el = c.find(q("is"))
+                val = (
+                    "".join(tt.text or "" for tt in is_el.iter(q("t")))
+                    if is_el is not None else None
+                )
+            elif v is None or v.text is None:
+                val = None
+            elif t == "s":
+                val = shared[int(v.text)]
+            elif t == "str":
+                val = v.text
+            else:
+                val = float(v.text)
+            if val is not None:
+                cells[(row, col)] = val
+                max_r, max_c = max(max_r, row), max(max_c, col)
+    grid = [[cells.get((r, c)) for c in range(max_c + 1)] for r in range(max_r + 1)]
+    return pd.DataFrame(grid)
+
+
 def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[str, np.ndarray]:
     """Parse the competition answer sheet → per-subject label arrays (0-4).
 
     Layout (reference: ``src/fast/data/preprocess.py:104-121``): subject
     ``i`` (1-based) occupies column ``2*i``, rows 3..52, values 1-5.
-    Requires an Excel reader engine (openpyxl); if unavailable, a
-    sibling ``.csv`` export of the sheet is accepted as a fallback.
+    ``.xlsx`` is read with pandas' Excel engine when one is installed,
+    else with the built-in stdlib OOXML reader (:func:`_read_xlsx_stdlib`);
+    a sibling ``.csv`` export of the sheet is also accepted.
     """
     import pandas as pd
 
@@ -78,10 +138,13 @@ def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[
         try:
             df = pd.read_excel(excel_path, header=None)
         except ImportError:
-            if os.path.exists(csv_fallback):
-                df = pd.read_csv(csv_fallback, header=None)
-            else:
-                raise
+            try:
+                df = _read_xlsx_stdlib(excel_path)
+            except Exception:
+                if os.path.exists(csv_fallback):
+                    df = pd.read_csv(csv_fallback, header=None)
+                else:
+                    raise
     out: Dict[str, np.ndarray] = {}
     for i in range(n_subjects):
         col = 2 * (i + 1)

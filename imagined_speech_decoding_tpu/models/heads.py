@@ -176,17 +176,31 @@ def _conv4_impl(which: str) -> str:
 
 def _conv4_tails_impl(train: bool) -> str:
     """Effective tails formulation: the ``ISD_CONV4_TAILS`` override if
-    set, else ``conv`` (two-stage) for training and ``conv2`` (composed
-    single conv + exact edge corrections) for inference. The composed
-    kernel halves the tails' conv time but its backward needs ~5 GB more
-    HBM across the 75-model stack (measured OOM), so it is
-    inference-only by default."""
+    set, else for TRAINING ``dense`` on TPU (``conv`` elsewhere), and
+    ``conv2`` (composed single conv + exact edge corrections) for
+    inference.
+
+    Round-4 measurement (experiments/r4_levers.py, production geometry:
+    75 models x 4 epochs, bf16, remat, 256-window chunks): the
+    de-grouped block-diagonal ``dense`` tails train at **77.6k** incl-val
+    windows/s vs ``conv``'s 73.1k (+6.1%; trainpass 62.1k vs 58.5k) —
+    spending Z x the FLOPs to fill all 128 MXU lanes with a (Z*I*K)-deep
+    contraction beats the grouped conv's 32-lane occupancy AND sheds the
+    grouped feed's relayout copies (dense also fits at 512-window chunks
+    where grouped OOM'd unchunked: 78.2k). On CPU the extra FLOPs are
+    real cost with no lane win, so the non-TPU training default stays
+    ``conv``. The composed ``conv2`` stays inference-only: its backward
+    needs ~5 GB more HBM across the stack (measured OOM)."""
     import os
 
     env = os.environ.get("ISD_CONV4_TAILS")
     if env is not None:
         return env
-    return "conv" if train else "conv2"
+    if train:
+        import jax
+
+        return "dense" if jax.default_backend() == "tpu" else "conv"
+    return "conv2"
 
 
 def _compose_taps(w3, w4):

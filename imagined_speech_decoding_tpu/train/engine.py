@@ -441,6 +441,14 @@ def make_fit(
     return fit
 
 
+def _donate_enabled() -> bool:
+    """``ISD_DONATE=1`` opts the segmented executor into carry donation
+    (see the measurement note inside :func:`fit_many_segmented`)."""
+    import os
+
+    return os.environ.get("ISD_DONATE", "") == "1"
+
+
 @jax.jit
 def _tree_copy(tree):
     """Fresh device buffers for every leaf (one fused program, one
@@ -517,27 +525,33 @@ def fit_many_segmented(
         # make_fit(sweep=True)); it is constant across segments.
         if hyper is None:
             raise ValueError("sweep-mode fit_fn requires hyper={'lr_scale', 'wd_scale'}")
-        # donate_argnums: the carry (~300 MB at the 75-model production
-        # stack: params + opt state + best snapshot) is dead the moment
-        # the segment returns its successor — donation lets XLA alias
-        # the output into the input buffers instead of re-allocating the
-        # stack every segment call.
+        # ISD_DONATE=1 donates the carry (~300 MB at the 75-model
+        # production stack: params + opt state + best snapshot) into
+        # each segment call, aliasing output into input buffers instead
+        # of re-allocating the stack. Measured on the target chip
+        # (experiments/r4_levers.py, two A/B pairs): donation is 1-3%
+        # SLOWER at unchanged results — aliasing constrains XLA's
+        # scheduling more than the allocation costs — so it is OFF by
+        # default and exists as the memory lever for stacks near the
+        # HBM ceiling (~90 models), where 300 MB buys headroom.
+        donate = _donate_enabled()
         _seg = jax.jit(
             jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, 0, None, None)),
-            donate_argnums=(1,),
+            donate_argnums=(1,) if donate else (),
         )
         segment = lambda c, k, ti, vi, Xc, Yc: _seg(hyper, c, k, ti, vi, Xc, Yc)
     else:
+        donate = _donate_enabled()
         segment = jax.jit(
             jax.vmap(fit_fn.segment, in_axes=(0, 0, 0, 0, None, None)),
-            donate_argnums=(0,),
+            donate_argnums=(0,) if donate else (),
         )
 
-    # The segment call donates its carry argument, and the initial carry
-    # built by vmap(init_carry) can alias the caller's params0/state0
-    # buffers (identity outputs) — donate a private copy instead so the
-    # caller's arrays survive the first segment.
-    carry = _tree_copy(init)
+    # Under donation the segment call consumes its carry argument, and
+    # the initial carry built by vmap(init_carry) can alias the caller's
+    # params0/state0 buffers (identity outputs) — donate a private copy
+    # instead so the caller's arrays survive the first segment.
+    carry = _tree_copy(init) if donate else init
     histories = []
     start_seg = 0
     ckpt_path = os.path.join(checkpoint_dir, "segment_carry.npz") if checkpoint_dir else None
@@ -576,16 +590,21 @@ def fit_many_segmented(
         if ckpt_path and ((s + 1) % max(checkpoint_every, 1) == 0 or s + 1 == n_segments):
             jax.block_until_ready(hist)
             _join_writer()
-            # The NEXT segment call DONATES the carry's buffers (see the
-            # jit above), which deletes the jax Arrays the writer thread
-            # would still be reading. Hand the writer its own device-side
+            # Under donation the NEXT segment call consumes the carry's
+            # buffers, deleting the jax Arrays the writer thread would
+            # still be reading. Hand the writer its own device-side
             # copy: one fused jitted tree-copy (a single dispatch; ~300 MB
             # of HBM-to-HBM traffic at the production stack, microseconds
             # at the hardware's streaming rate) — NOT a host fetch, which
             # would serialize a ~300 MB D2H transfer into the loop.
             writer = threading.Thread(
                 target=_save_async,
-                args=(ckpt_path, _tree_copy(carry), list(histories), s + 1),
+                args=(
+                    ckpt_path,
+                    _tree_copy(carry) if donate else carry,
+                    list(histories),
+                    s + 1,
+                ),
                 daemon=True,
             )
             writer.start()

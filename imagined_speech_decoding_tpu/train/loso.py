@@ -83,12 +83,17 @@ def pretrain_loso(
     mesh_axis: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
+    return_result: bool = False,
 ) -> List:
     """Train all LOSO-pretrained models at once; save best-val weights.
 
     Idempotent: if every per-subject checkpoint already exists, they are
     loaded and returned without training (reference ``:163-165``).
     Returns the list of best param pytrees, one per excluded subject.
+    ``return_result=True`` returns ``(best_list, FitResult)`` instead —
+    the full stacked history/best-acc for observability checks (e.g.
+    the multichip dryrun's sharded==unsharded comparison; not available
+    on the skip-if-exists fast path, which returns ``(best, None)``).
     """
     os.makedirs(save_dir, exist_ok=True)
     s_count = len(subjects)
@@ -97,7 +102,8 @@ def pretrain_loso(
     if all(os.path.exists(_ckpt_path(save_dir, sid)) for sid in subjects):
         if verbose:
             print(green(f"LOSO: all {s_count} checkpoints exist — skipping pretraining"))
-        return [load_state_dict(_ckpt_path(save_dir, sid), template) for sid in subjects]
+        loaded = [load_state_dict(_ckpt_path(save_dir, sid), template) for sid in subjects]
+        return (loaded, None) if return_result else loaded
 
     train_idx, val_idx = build_loso_index_stack(Y, val_frac=0.1, seed=seed)
     n_train, n_val = train_idx.shape[1], val_idx.shape[1]
@@ -153,7 +159,7 @@ def pretrain_loso(
         if verbose:
             acc = float(np.asarray(res.best_val_acc)[si])
             print(f"LOSO pretrain (excl. {sid}): best val_acc={green(f'{acc:.4f}')}")
-    return best
+    return (best, res) if return_result else best
 
 
 def stack_pretrained_for_cv(
