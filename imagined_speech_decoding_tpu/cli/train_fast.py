@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--n_folds", type=int, default=None)
     p.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
+    p.add_argument(
+        "--val_every", type=int, default=None, metavar="K",
+        help="run the validation pass every K-th epoch only (throughput "
+             "mode; K>1 coarsens best-checkpoint granularity to K epochs; "
+             "default 1 = reference per-epoch ModelCheckpoint parity)",
+    )
     p.add_argument("--head", type=str, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--weight_decay", type=float, default=None)
@@ -127,6 +133,7 @@ def build_overrides(args) -> dict:
             "seed": args.seed,
             "n_folds": args.n_folds,
             "precision": args.precision,
+            "val_every": args.val_every,
             "head": args.head,
             "learning_rate": (
                 args.learning_rate
@@ -158,7 +165,9 @@ def load_data(args):
         s = args.synthetic
         subjects = [f"{i + 1:02d}" for i in range(s)]
         X, Y = synthetic_corpus(0, s, args.synthetic_trials, 64, 800)
-        if args.label_noise:
+        # getattr: sibling CLIs (train_baselines, train_tsception) share
+        # this load_data with parsers that don't define --label_noise.
+        if getattr(args, "label_noise", 0.0):
             # Deterministic (seed-fixed, precision-independent) label
             # flips: keeps campaign accuracy off the 1.0 ceiling so
             # e.g. the f32-vs-bf16 dtype-delta measurement compares

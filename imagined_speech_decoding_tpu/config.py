@@ -92,6 +92,11 @@ class TrainConfig:
     shuffle_folds: bool = True
     precision: str = "bf16"  # compute dtype; params/optimizer stay f32
     forward_mode: str = "default"
+    # Validation cadence: 1 = reference ModelCheckpoint parity (default);
+    # k>1 runs the val pass every k-th epoch only — an opt-in throughput
+    # mode (the per-epoch val pass costs ~20% of step time at production
+    # geometry) that coarsens best-checkpoint granularity to k epochs.
+    val_every: int = 1
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -195,6 +195,12 @@ def train_per_subject_cv(
     # repeatedly (long single-program scans have crashed the TPU runtime;
     # segments also give natural resume points).
     seg = _segment_length(tc.max_epochs, epochs_per_segment)
+    val_every = getattr(tc, "val_every", 1) or 1
+    if val_every > 1:
+        # Segments must hold whole val blocks (make_fit requires
+        # epochs % val_every == 0); round the segment down to a
+        # multiple, up to one block minimum.
+        seg = max((seg // val_every) * val_every, val_every)
     fit = make_fit(
         model.apply,
         n_classes,
@@ -209,6 +215,7 @@ def train_per_subject_cv(
         data_dtype=data_dtype,
         total_epochs=tc.max_epochs,
         batch_sharding=batch_sharding,
+        val_every=val_every,
     )
     fit_keys = jax.random.split(jax.random.PRNGKey(m_seed + 1), key_total)[
         key_off : key_off + m_count

@@ -112,7 +112,9 @@ def tmp_dir(tmp_path):
 
 _SMOKE = {
     "test_baseline_models.py": [
-        "TestTrainableBaselines::test_forward_shapes",
+        # one representative trainable-baseline forward (the other
+        # params share the ModelDef plumbing; full set in the default tier)
+        "TestTrainableBaselines::test_forward_shapes[tsception",
         "TestClassicalPipeline::test_fit_predict_svm",
     ],
     "test_baseline_pipelines.py": [
@@ -140,7 +142,10 @@ _SMOKE = {
     "test_model.py": [
         "TestForwardModes::test_logits_shape",
         "TestTokenizer::test_token_count",
-        "TestHeadFamilies::test_output_shape",
+        # two head families (the default + the BN-bearing one); the
+        # other two compile ~10s each and ride the default tier
+        "TestHeadFamilies::test_output_shape[Conv4Layers",
+        "TestHeadFamilies::test_output_shape[CVBlock",
     ],
     "test_ops.py": [
         "TestWindowing::test_sliding_window_matches_manual",

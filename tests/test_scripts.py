@@ -103,6 +103,29 @@ class TestEndToEndSynthetic:
         df, summary = bench_cli.process_results(parent, model)
         assert len(df) == 2
 
+    @pytest.mark.slow
+    def test_train_fast_synthetic_val_every(self, tmp_dir):
+        """--val_every plumbs through config -> cv -> engine: the
+        campaign completes, the artifact tree is intact, and the history
+        CSVs carry NaN val rows on skipped epochs."""
+        result = train_cli.main([
+            "--config", "nonexistent.yaml",
+            "--synthetic", "2", "--synthetic_trials", "30",
+            "--epochs", "4", "--batch_size", "10", "--n_folds", "3",
+            "--precision", "f32", "--val_every", "2",
+            "--output_dir", tmp_dir,
+        ])
+        assert len(result.summary) == 2
+        import pandas as pd
+
+        hist = pd.read_csv(os.path.join(tmp_dir, "sub-01", "fold-1_history.csv"))
+        va = hist["val_acc"].to_numpy()
+        assert len(va) == 4
+        import numpy as np
+
+        assert np.isnan(va[0]) and np.isnan(va[2]), "skipped epochs must be NaN"
+        assert np.isfinite(va[1]) and np.isfinite(va[3])
+
 
 class TestMultiModelComparison:
     def test_model_summary_covers_all_models(self, tmp_dir):
