@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--models", type=int, default=75)
     ap.add_argument("--remat-save", default=None, help="ISD_REMAT_SAVE value")
+    ap.add_argument("--no-remat", action="store_true", help="disable head remat entirely")
     ap.add_argument("--analyze-only", action="store_true", help="AOT memory analysis, no run")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace to this dir")
     args = ap.parse_args()
@@ -53,7 +54,9 @@ def main():
     N_SUBJECTS, N_TRIALS, N_FOLDS, BATCH = 15, 350, 5, 64
     cfg = FASTConfig.default()
     dt = jnp.bfloat16
-    model = make_fast_model(cfg, compute_dtype=dt, remat=True, head_micro_batch=args.chunk)
+    model = make_fast_model(
+        cfg, compute_dtype=dt, remat=not args.no_remat, head_micro_batch=args.chunk
+    )
 
     x_flat, y_flat = jax.jit(
         lambda k: synthetic_trials_device(
@@ -83,6 +86,7 @@ def main():
         "tails": os.environ.get("ISD_CONV4_TAILS", "<default>"),
         "first": os.environ.get("ISD_CONV4_FIRST", "<default>"),
         "remat_save": os.environ.get("ISD_REMAT_SAVE", ""),
+        "remat": not args.no_remat,
         "chunk": args.chunk,
         "models": m_count,
         "epochs": args.epochs,
