@@ -441,7 +441,7 @@ def _conv4_tails(params, h, impl=None):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             h = out.transpose(0, 3, 1, 2).reshape(b, z, o, t1)
-        elif impl == "dense":
+        elif impl.startswith("dense"):
             # De-grouped block-diagonal dense conv: the grouped tails'
             # per-zone O=32-wide outputs use 32 of the MXU's 128 lanes
             # and contract only I*K deep — the structural MFU ceiling
@@ -453,16 +453,30 @@ def _conv4_tails(params, h, impl=None):
             # GROUPED: the dense kernel is a zero-preserving scatter of
             # the grouped params, so off-block weight cotangents vanish
             # in the scatter's VJP.
+            #
+            # ``dense_gG`` de-groups PARTIALLY: a grouped conv with G
+            # groups of Z/G zones, each group's kernels block-diagonal —
+            # (Z/G)*O-wide outputs at (Z/G)x the FLOPs, the intermediate
+            # occupancy/FLOPs points between grouped (O=32 lanes, 1x)
+            # and fully dense (Z*O wide, Zx). At Z=8, O=32: ``dense_g2``
+            # = 128-wide (one full lane tile) at 4x, ``dense_g4`` =
+            # 64-wide at 2x. Requires G | Z (else falls back to g=1).
+            g = int(impl[7:]) if impl.startswith("dense_g") else 1
+            if z % g:
+                g = 1
+            zg = z // g
             o_s, i_s = w.shape[1], w.shape[2]
-            eye_z = jnp.eye(z, dtype=w.dtype)
-            wd = (w[:, :, None, :, :] * eye_z[:, None, :, None, None]).reshape(
-                z * o_s, z * i_s, kk
-            )
+            eye_zg = jnp.eye(zg, dtype=w.dtype)
+            wd = (
+                w.reshape(g, zg, o_s, i_s, kk)[:, :, :, None, :, :]
+                * eye_zg[None, :, None, :, None, None]
+            ).reshape(g * zg * o_s, zg * i_s, kk)
             out = jax.lax.conv_general_dilated(
                 h.reshape(b, z * i_s, 1, t1),
                 wd[:, :, None, :],
                 window_strides=(1, 1),
                 padding=[(0, 0), (kk // 2, kk // 2)],
+                feature_group_count=g,
             )
             h = out.reshape(b, z, o_s, t1)
         else:  # "conv" (also the fallback for "fullseq" in windowed contexts)

@@ -241,8 +241,8 @@ class TestFusedFullseqEquivalence:
     @pytest.mark.parametrize("first", ["gemm", "conv"])
     @pytest.mark.parametrize(
         "tails",
-        ["patches", "pertap", "conv", "convnhwc", "nhwc2", "dense", "fullseq",
-         "conv2", "conv2c", "fullseq2"],
+        ["patches", "pertap", "conv", "convnhwc", "nhwc2", "dense", "dense_g2",
+         "dense_g4", "fullseq", "conv2", "conv2c", "fullseq2"],
     )
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
@@ -263,8 +263,45 @@ class TestFusedFullseqEquivalence:
         ))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("tails", ["dense_g2", "dense_g4"])
+    def test_partial_dense_grouping_agrees(self, tails, monkeypatch):
+        """The partially de-grouped tails (G groups of Z/G zones on the
+        block diagonal) must equal the grouped reference on a geometry
+        where G actually divides Z (the 3-zone fixture above falls back
+        to g=1, so this uses 4 zones)."""
+        from imagined_speech_decoding_tpu.data.constants import zone_layout
+        from imagined_speech_decoding_tpu.models.heads import (
+            conv4layers_fused_all_zones_fullseq,
+            head_init,
+        )
+
+        electrodes = tuple(f"E{i}" for i in range(12))
+        zones = {
+            "A": ("E0", "E1", "E2"),
+            "B": ("E3", "E4"),
+            "C": ("E5", "E6", "E7", "E8"),
+            "D": ("E9", "E10", "E11"),
+        }
+        layout = zone_layout(electrodes, zones)
+        params, _ = head_init(jax.random.PRNGKey(5), "Conv4Layers",
+                              layout.n_zones, layout.c_max, 8, 64)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(3, 12, 160)).astype(np.float32))
+        monkeypatch.delenv("ISD_CONV4_FIRST", raising=False)
+        monkeypatch.delenv("ISD_CONV4_TAILS", raising=False)
+        ref = np.asarray(conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, 64, 32
+        ))
+        monkeypatch.setenv("ISD_CONV4_TAILS", tails)
+        out = np.asarray(conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, 64, 32
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
     @pytest.mark.parametrize(
-        "tails", [None, "fullseq", "conv2", "conv2c", "fullseq2", "nhwc2", "dense"]
+        "tails",
+        [None, "fullseq", "conv2", "conv2c", "fullseq2", "nhwc2", "dense",
+         "dense_g2"],
     )
     def test_fullseq_gradients_match_windowed(self, tails, monkeypatch):
         from imagined_speech_decoding_tpu.models.heads import (
