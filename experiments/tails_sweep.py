@@ -22,6 +22,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tails", default=None, help="ISD_CONV4_TAILS value (unset = default)")
     ap.add_argument("--first", default=None, help="ISD_CONV4_FIRST value")
+    ap.add_argument(
+        "--eval-tails", default=None,
+        help="ISD_CONV4_TAILS_EVAL value (inference/validation formulation only)",
+    )
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--models", type=int, default=75)
@@ -35,6 +39,8 @@ def main():
         os.environ["ISD_CONV4_TAILS"] = args.tails
     if args.first is not None:
         os.environ["ISD_CONV4_FIRST"] = args.first
+    if args.eval_tails is not None:
+        os.environ["ISD_CONV4_TAILS_EVAL"] = args.eval_tails
     if args.remat_save is not None:
         os.environ["ISD_REMAT_SAVE"] = args.remat_save
 
@@ -84,6 +90,7 @@ def main():
 
     out = {
         "tails": os.environ.get("ISD_CONV4_TAILS", "<default>"),
+        "eval_tails": os.environ.get("ISD_CONV4_TAILS_EVAL", "<default>"),
         "first": os.environ.get("ISD_CONV4_FIRST", "<default>"),
         "remat_save": os.environ.get("ISD_REMAT_SAVE", ""),
         "remat": not args.no_remat,

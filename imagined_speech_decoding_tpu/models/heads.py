@@ -162,8 +162,9 @@ def _conv4_impl(which: str) -> str:
     (Z x FLOPs for full MXU lanes) | ``nhwc2`` channels-last end-to-end
     tails | ``conv2`` composed single conv | ``fullseq`` /
     ``fullseq2`` full-sequence tails). Defaults are the measured-fastest
-    on the available chip (train: ``conv``; inference: ``conv2`` — see
-    ``_conv4_tails_impl``): the program is HBM-bandwidth-bound, and
+    on the available chip, backend-gated in ``_conv4_tails_impl`` (TPU:
+    ``dense`` for train and inference; elsewhere ``conv`` train /
+    ``conv2`` inference): the program is HBM-bandwidth-bound, and
     XLA's native conv emitter tiles the tail convs in VMEM without
     materializing the K-tap patch stack — less traffic AND less live
     memory, which in turn admits 4x larger head chunks (59k vs 35k
@@ -176,9 +177,9 @@ def _conv4_impl(which: str) -> str:
 
 def _conv4_tails_impl(train: bool) -> str:
     """Effective tails formulation: the ``ISD_CONV4_TAILS`` override if
-    set, else for TRAINING ``dense`` on TPU (``conv`` elsewhere), and
-    ``conv2`` (composed single conv + exact edge corrections) for
-    inference.
+    set, else ``dense`` on TPU (training AND inference — measured best
+    for both, see below); elsewhere ``conv`` for training and ``conv2``
+    (composed single conv + exact edge corrections) for inference.
 
     Round-4 measurement (experiments/r4_levers.py, production geometry:
     75 models x 4 epochs, bf16, remat, 256-window chunks): the
@@ -190,17 +191,38 @@ def _conv4_tails_impl(train: bool) -> str:
     where grouped OOM'd unchunked: 78.2k). On CPU the extra FLOPs are
     real cost with no lane win, so the non-TPU training default stays
     ``conv``. The composed ``conv2`` stays inference-only: its backward
-    needs ~5 GB more HBM across the stack (measured OOM)."""
+    needs ~5 GB more HBM across the stack (measured OOM).
+
+    ``ISD_CONV4_TAILS_EVAL`` overrides the INFERENCE formulation alone
+    (validation passes inside the jitted fit, ``predict``, serving) so
+    train/eval formulations can be measured independently — e.g.
+    ``ISD_CONV4_TAILS_EVAL=dense2`` runs the composed 9-tap kernel as a
+    de-grouped dense conv while training stays on the default.
+
+    Round-4 eval-formulation measurement (experiments/tails_sweep.py
+    --eval-tails, production geometry unchunked, train=``dense``):
+    eval ``conv2`` 77.6k incl-val windows/s, eval ``dense2`` (composed
+    de-grouped) 76.2k, eval ``dense`` **78.6k** — the two-stage dense
+    conv beats the composed kernel on TPU (the composed trick pays on a
+    LAUNCH-bound grouped conv; de-grouped, the 9-tap full-lane kernel
+    plus its edge corrections cost more than the second 5-tap stage
+    saves). TPU inference default is therefore ``dense`` too; ``conv2``
+    stays the non-TPU inference default (composed = fewer passes where
+    lanes aren't the constraint)."""
     import os
 
+    if not train:
+        env_eval = os.environ.get("ISD_CONV4_TAILS_EVAL")
+        if env_eval is not None:
+            return env_eval
     env = os.environ.get("ISD_CONV4_TAILS")
     if env is not None:
         return env
-    if train:
-        import jax
+    import jax
 
-        return "dense" if jax.default_backend() == "tpu" else "conv"
-    return "conv2"
+    if jax.default_backend() == "tpu":
+        return "dense"
+    return "conv" if train else "conv2"
 
 
 def _compose_taps(w3, w4):
@@ -221,9 +243,12 @@ def _compose_taps(w3, w4):
     return jnp.stack(taps, axis=-1)
 
 
-def _conv4_tails_composed(params, h):
+def _conv4_tails_composed(params, h, dense=False):
     """Both tail convs as ONE composed (K3+K4-1)-tap grouped conv + exact
-    edge corrections: ``h (B, Z, I, T1) -> (B, Z, O)``.
+    edge corrections: ``h (B, Z, I, T1) -> (B, Z, O)``. With
+    ``dense=True`` (the ``dense2`` formulation) the composed kernel runs
+    de-grouped on the block diagonal of one dense conv — the ``dense``
+    occupancy trade applied to the forward-only composed path.
 
     cnn3 and cnn4 are back-to-back linear convs (GELU only after cnn4),
     so their kernels pre-convolve into one. Measured on the target chip,
@@ -240,7 +265,7 @@ def _conv4_tails_composed(params, h):
     """
     w3 = params["cnn3"]["w"][:, :, :, 0, :]  # (Z, O, I, K)
     w4 = params["cnn4"]["w"][:, :, :, 0, :]
-    return _tails_composed_core(h, w3, w4)
+    return _tails_composed_core(h, w3, w4, dense=dense)
 
 
 def _edge_two_stage(strip, left, w3d, w4d):
@@ -258,15 +283,19 @@ def _edge_two_stage(strip, left, w3d, w4d):
     return _conv_valid_time(jnp.pad(h3, pad + p4), w4d)
 
 
-def _tails_composed_core(h, w3, w4):
+def _tails_composed_core(h, w3, w4, dense=False):
     """Composed-tails forward math: ``h (B, Z, I, T1)`` ×
     ``w3/w4 (Z, O|J, I|J, K)`` → ``(B, Z, O)``. See
-    ``_conv4_tails_composed`` for the derivation."""
+    ``_conv4_tails_composed`` for the derivation. ``dense=True`` runs
+    the composed kernel as a block-diagonal de-grouped dense conv
+    (``dense2``: Z x the FLOPs for full MXU lanes on the one big conv;
+    the tiny edge strips stay two-stage grouped)."""
     k3, k4 = w3.shape[-1], w4.shape[-1]
     e = k3 // 2 + k4 // 2
     t1 = h.shape[-1]
     w34 = _compose_taps(w3, w4).astype(h.dtype)  # (Z, O, I, K3+K4-1)
-    h4c = _grouped_conv_same_time(h, w34)  # (B, Z, O, T1), exact on [e, t1-e)
+    conv_fn = _dense_conv_same_time if dense else _grouped_conv_same_time
+    h4c = conv_fn(h, w34)  # (B, Z, O, T1), exact on [e, t1-e)
     g = jax.nn.gelu(h4c, approximate=False)
     # Mean in the compute dtype (same numerics as the two-stage path's
     # jnp.mean); an f32 cast here would materialize a full-width f32
@@ -387,7 +416,7 @@ def _conv4_tails(params, h, impl=None):
     if impl is None:
         impl = _conv4_impl("tails")
     b, z, o, t1 = h.shape
-    if impl in ("conv2", "conv2c") and t1 >= 2 * (
+    if impl in ("conv2", "conv2c", "dense2") and t1 >= 2 * (
         params["cnn3"]["w"].shape[-1] // 2 + params["cnn4"]["w"].shape[-1] // 2
     ):
         if impl == "conv2c":
@@ -396,7 +425,7 @@ def _conv4_tails(params, h, impl=None):
                 params["cnn3"]["w"][:, :, :, 0, :],
                 params["cnn4"]["w"][:, :, :, 0, :],
             )
-        return _conv4_tails_composed(params, h)
+        return _conv4_tails_composed(params, h, dense=impl == "dense2")
     if impl == "nhwc2":
         # Channels-last END-TO-END: the r2 `convnhwc` experiment
         # transposed around EACH conv, reintroducing the very relayout
@@ -462,23 +491,7 @@ def _conv4_tails(params, h, impl=None):
             # = 128-wide (one full lane tile) at 4x, ``dense_g4`` =
             # 64-wide at 2x. Requires G | Z (else falls back to g=1).
             g = int(impl[7:]) if impl.startswith("dense_g") else 1
-            if z % g:
-                g = 1
-            zg = z // g
-            o_s, i_s = w.shape[1], w.shape[2]
-            eye_zg = jnp.eye(zg, dtype=w.dtype)
-            wd = (
-                w.reshape(g, zg, o_s, i_s, kk)[:, :, :, None, :, :]
-                * eye_zg[None, :, None, :, None, None]
-            ).reshape(g * zg * o_s, zg * i_s, kk)
-            out = jax.lax.conv_general_dilated(
-                h.reshape(b, z * i_s, 1, t1),
-                wd[:, :, None, :],
-                window_strides=(1, 1),
-                padding=[(0, 0), (kk // 2, kk // 2)],
-                feature_group_count=g,
-            )
-            h = out.reshape(b, z, o_s, t1)
+            h = _dense_conv_same_time(h, w, g)
         else:  # "conv" (also the fallback for "fullseq" in windowed contexts)
             # One native grouped conv (group = zone): XLA's conv emitter
             # tiles in VMEM without materializing shifted copies.
@@ -512,6 +525,36 @@ def _tails_nhwc_chain(x, w3, w4):
         )
     h = jax.nn.gelu(h, approximate=False)  # (B, 1, T1, Z*O)
     return jnp.mean(h[:, 0], axis=1).reshape(b, z, o)
+
+
+def _dense_conv_same_time(x, w, g=1):
+    """'same'-padded conv with the Z grouped kernels de-grouped onto the
+    block diagonal of G dense kernels (``g=1``: fully dense, Z x the
+    FLOPs for full (Z*O)-lane MXU occupancy; ``g>1``: G conv groups of
+    Z/G zones each — the intermediate occupancy/FLOPs points). Requires
+    ``g | Z`` (else falls back to fully dense). Math is exact: the
+    off-block weights are structural zeros, and the dense kernel is a
+    zero-preserving scatter of the grouped params, so off-block weight
+    cotangents vanish in the scatter's VJP and gradients stay exactly
+    grouped. ``x (B, Z, I, T)`` x ``w (Z, O, I, K)`` -> ``(B, Z, O, T)``."""
+    b, z, i, t = x.shape
+    o, kk = w.shape[1], w.shape[-1]
+    if z % g:
+        g = 1
+    zg = z // g
+    eye_zg = jnp.eye(zg, dtype=w.dtype)
+    wd = (
+        w.reshape(g, zg, o, i, kk)[:, :, :, None, :, :]
+        * eye_zg[None, :, None, :, None, None]
+    ).reshape(g * zg * o, zg * i, kk)
+    out = jax.lax.conv_general_dilated(
+        x.reshape(b, z * i, 1, t),
+        wd[:, :, None, :],
+        window_strides=(1, 1),
+        padding=[(0, 0), (kk // 2, kk // 2)],
+        feature_group_count=g,
+    )
+    return out.reshape(b, z, o, t)
 
 
 def _grouped_conv_same_time(x, w):

@@ -242,7 +242,7 @@ class TestFusedFullseqEquivalence:
     @pytest.mark.parametrize(
         "tails",
         ["patches", "pertap", "conv", "convnhwc", "nhwc2", "dense", "dense_g2",
-         "dense_g4", "fullseq", "conv2", "conv2c", "fullseq2"],
+         "dense_g4", "fullseq", "conv2", "conv2c", "dense2", "fullseq2"],
     )
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
@@ -300,8 +300,8 @@ class TestFusedFullseqEquivalence:
 
     @pytest.mark.parametrize(
         "tails",
-        [None, "fullseq", "conv2", "conv2c", "fullseq2", "nhwc2", "dense",
-         "dense_g2"],
+        [None, "fullseq", "conv2", "conv2c", "dense2", "fullseq2", "nhwc2",
+         "dense", "dense_g2"],
     )
     def test_fullseq_gradients_match_windowed(self, tails, monkeypatch):
         from imagined_speech_decoding_tpu.models.heads import (
