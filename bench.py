@@ -243,7 +243,15 @@ def main():
     from imagined_speech_decoding_tpu.models.heads import _conv4_tails_impl
 
     tails_impl = _conv4_tails_impl(train=True)
-    exec_mult = n_zones if tails_impl == "dense" else 1
+    # Executed-FLOPs multiplier of the block-diagonal de-groupings:
+    # fully dense = Z x, partial (`dense_gG` one grouped conv /
+    # `dense_sG` G separate convs) = (Z/G) x per zone.
+    if tails_impl == "dense":
+        exec_mult = n_zones
+    elif tails_impl.startswith(("dense_g", "dense_s")):
+        exec_mult = n_zones // int(tails_impl[7:])
+    else:
+        exec_mult = 1
     run_flops_exec = (
         3 * (first_flops + exec_mult * tails_flops) * trainpass_windows
         + fwd_flops_per_window * eval_pass_windows  # eval uses conv2 tails

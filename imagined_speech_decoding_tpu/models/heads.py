@@ -490,8 +490,24 @@ def _conv4_tails(params, h, impl=None):
             # and fully dense (Z*O wide, Zx). At Z=8, O=32: ``dense_g2``
             # = 128-wide (one full lane tile) at 4x, ``dense_g4`` =
             # 64-wide at 2x. Requires G | Z (else falls back to g=1).
-            g = int(impl[7:]) if impl.startswith("dense_g") else 1
-            h = _dense_conv_same_time(h, w, g)
+            if impl.startswith("dense_s"):
+                # ``dense_sG``: the same partial de-grouping as
+                # ``dense_gG`` — G blocks of Z/G zones, each block's
+                # kernels block-diagonal-dense — but executed as G
+                # SEPARATE dense convs over Python-sliced channel
+                # halves instead of one conv with
+                # ``feature_group_count=G``. The grouped-conv feed (and
+                # its relayout memory, which is what sank ``dense_g2``
+                # despite its exactly-one-lane-tile 128-wide outputs)
+                # never exists: each sub-conv is an ordinary dense conv
+                # on a contiguous channel slice. At Z=8, O=32,
+                # ``dense_s2`` = two 128-wide full-lane convs at 4x the
+                # grouped FLOPs — HALF of fully-dense's 8x redundancy
+                # at identical lane occupancy per conv.
+                h = _dense_split_conv_same_time(h, w, int(impl[7:]))
+            else:
+                g = int(impl[7:]) if impl.startswith("dense_g") else 1
+                h = _dense_conv_same_time(h, w, g)
         else:  # "conv" (also the fallback for "fullseq" in windowed contexts)
             # One native grouped conv (group = zone): XLA's conv emitter
             # tiles in VMEM without materializing shifted copies.
@@ -555,6 +571,43 @@ def _dense_conv_same_time(x, w, g=1):
         feature_group_count=g,
     )
     return out.reshape(b, z, o, t)
+
+
+def _dense_split_conv_same_time(x, w, g):
+    """'same'-padded conv as G SEPARATE block-diagonal dense convs over
+    Python-sliced zone groups (``dense_sG``): each group's Z/G grouped
+    kernels are de-grouped onto the block diagonal of its own dense
+    ((Z/G)*O, (Z/G)*I, K) kernel, and the G convs run on contiguous
+    channel slices of ``x`` — no ``feature_group_count``, so none of the
+    grouped feed's relayout memory that made ``dense_gG`` lose (see
+    docs/PERFORMANCE.md). (Z/G)x the FLOPs per zone at full
+    ((Z/G)*O)-lane occupancy per conv. Math is exact for the same
+    reason as ``_dense_conv_same_time``: off-block weights are
+    structural zeros and the dense kernels are zero-preserving scatters
+    of the grouped params, so gradients stay exactly grouped.
+    ``x (B, Z, I, T)`` x ``w (Z, O, I, K)`` -> ``(B, Z, O, T)``.
+    Requires ``g | Z`` (else falls back to fully dense ``g=1``)."""
+    b, z, i, t = x.shape
+    o, kk = w.shape[1], w.shape[-1]
+    if z % g:
+        g = 1
+    zg = z // g
+    eye_zg = jnp.eye(zg, dtype=w.dtype)
+    wd = (
+        w.reshape(g, zg, o, i, kk)[:, :, :, None, :, :]
+        * eye_zg[None, :, None, :, None, None]
+    ).reshape(g, zg * o, zg * i, kk)
+    xg = x.reshape(b, g, zg * i, 1, t)
+    outs = [
+        jax.lax.conv_general_dilated(
+            xg[:, gi],
+            wd[gi][:, :, None, :],
+            window_strides=(1, 1),
+            padding=[(0, 0), (kk // 2, kk // 2)],
+        )
+        for gi in range(g)
+    ]
+    return jnp.stack(outs, axis=1).reshape(b, z, o, t)
 
 
 def _grouped_conv_same_time(x, w):

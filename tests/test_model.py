@@ -242,7 +242,8 @@ class TestFusedFullseqEquivalence:
     @pytest.mark.parametrize(
         "tails",
         ["patches", "pertap", "conv", "convnhwc", "nhwc2", "dense", "dense_g2",
-         "dense_g4", "fullseq", "conv2", "conv2c", "dense2", "fullseq2"],
+         "dense_g4", "dense_s2", "dense_s4", "fullseq", "conv2", "conv2c",
+         "dense2", "fullseq2"],
     )
     def test_formulations_agree(self, first, tails, monkeypatch):
         """All first-conv x tails formulation knobs compute the same head."""
@@ -263,7 +264,7 @@ class TestFusedFullseqEquivalence:
         ))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
-    @pytest.mark.parametrize("tails", ["dense_g2", "dense_g4"])
+    @pytest.mark.parametrize("tails", ["dense_g2", "dense_g4", "dense_s2", "dense_s4"])
     def test_partial_dense_grouping_agrees(self, tails, monkeypatch):
         """The partially de-grouped tails (G groups of Z/G zones on the
         block diagonal) must equal the grouped reference on a geometry
@@ -301,7 +302,7 @@ class TestFusedFullseqEquivalence:
     @pytest.mark.parametrize(
         "tails",
         [None, "fullseq", "conv2", "conv2c", "dense2", "fullseq2", "nhwc2",
-         "dense", "dense_g2"],
+         "dense", "dense_g2", "dense_s2"],
     )
     def test_fullseq_gradients_match_windowed(self, tails, monkeypatch):
         from imagined_speech_decoding_tpu.models.heads import (
