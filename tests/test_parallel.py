@@ -161,6 +161,72 @@ class TestModelAxisSharding:
         )
 
 
+class TestSegmentedSweepSharding:
+    def test_segmented_sweep_sharded_matches_unsharded(self, small_config):
+        """The SEGMENTED sweep-mode fit (runtime lr/wd hypers riding the
+        stacked axis, multi-segment carry, non-divisible stack padded to
+        the mesh) sharded over ('model',) == unsharded, exactly.
+
+        This is the bit-exact check the multichip dryrun references
+        (``__graft_entry__._dryrun_multichip_impl`` keeps its budget by
+        checking the sharded sweep against a plain non-sweep run at
+        reassociation tolerance); one test covers the three wiring
+        surfaces the dryrun no longer isolates: segment-boundary carry
+        under sharding, hyper-dict padding via shard_model_stack, and
+        sweep-mode history assembly.
+        """
+        from imagined_speech_decoding_tpu.parallel.mesh import shard_model_stack
+        from imagined_speech_decoding_tpu.train.engine import fit_many_segmented
+
+        cfg = small_config
+        model = make_fast_model(cfg)
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(rng.normal(size=(30, cfg.n_channels, cfg.seq_len)).astype(np.float32))
+        Y = jnp.asarray(rng.integers(0, 5, 30).astype(np.int32))
+        m = 5  # NOT divisible by the 8-device mesh: padding exercised
+        perms = np.stack([rng.permutation(30) for _ in range(m)])
+        tidx, vidx = jnp.asarray(perms[:, :24]), jnp.asarray(perms[:, 24:])
+        params0, state0 = stacked_init(model, jax.random.PRNGKey(4), m)
+        keys = jax.random.split(jax.random.PRNGKey(5), m)
+        hyper = {
+            "lr_scale": jnp.asarray([1.0, 0.5, 2.0, 1.0, 0.25], jnp.float32),
+            "wd_scale": jnp.asarray([1.0, 0.0, 1.0, 2.0, 1.0], jnp.float32),
+        }
+        fit = make_fit(
+            model.apply, cfg.n_classes, epochs=1, batch_size=8, n_train=24,
+            n_val=6, learning_rate=1e-3, warmup_epochs=0, total_epochs=2,
+            sweep=True,
+        )
+        res_plain = jax.block_until_ready(
+            fit_many_segmented(
+                fit, keys, params0, state0, tidx, vidx, X, Y,
+                total_epochs=2, hyper=hyper,
+            )
+        )
+        (hyper_s, keys_s, p_s, s_s, t_s, v_s), (X_s, Y_s), m_padded = (
+            shard_model_stack(
+                "model", m, [hyper, keys, params0, state0, tidx, vidx], [X, Y]
+            )
+        )
+        assert m_padded == 8
+        res_shard = jax.block_until_ready(
+            fit_many_segmented(
+                fit, keys_s, p_s, s_s, t_s, v_s, X_s, Y_s,
+                total_epochs=2, hyper=hyper_s,
+            )
+        )
+        res_shard = jax.tree.map(lambda v: v[:m], res_shard)
+        for k in res_plain.history:
+            np.testing.assert_allclose(
+                np.asarray(res_shard.history[k]), np.asarray(res_plain.history[k]),
+                rtol=1e-5, atol=1e-5, err_msg=f"history[{k}]",
+            )
+        np.testing.assert_allclose(
+            np.asarray(res_shard.best_val_acc), np.asarray(res_plain.best_val_acc),
+            atol=1e-6,
+        )
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as g
