@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--notch", type=float, default=None, help="notch frequency (e.g. 60)")
     p.add_argument("--bandpass", type=float, nargs=2, default=None, metavar=("LO", "HI"))
     p.add_argument("--no-compress", action="store_true")
+    p.add_argument(
+        "--no-strict", action="store_true",
+        help="disable strict schema validation of the raw files (strict "
+        "is the default: a present-but-deviating .mat/.xlsx fails loudly "
+        "with the expected schema instead of caching silently wrong arrays)",
+    )
     return p
 
 
@@ -74,17 +80,23 @@ def main(argv=None):
     base = resolve_data_folder(args.data_folder)
     os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".", exist_ok=True)
 
+    strict = not args.no_strict
     if args.layout == "official":
         path = build_official_cache(
             base, args.output, excel_path=args.excel_path,
-            compression=None if args.no_compress else "gzip",
+            compression=None if args.no_compress else "gzip", strict=strict,
         )
     else:
-        path = build_subject_cache(base, args.output)
+        path = build_subject_cache(base, args.output, strict=strict)
 
     if args.notch is not None or args.bandpass is not None:
         print(f"filtering cache on device (notch={args.notch}, bandpass={args.bandpass})")
         _filter_h5(path, args.notch, args.bandpass)
+
+    if strict:
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+
+        manifest_check(path)
 
     print(f"cache written: {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
     return path

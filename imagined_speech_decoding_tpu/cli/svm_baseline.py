@@ -61,8 +61,8 @@ def main(argv=None):
     else:
         base = resolve_data_folder(args.data_folder)
         excel = resolve_excel_path(base, args.excel_path)
-        test = load_test_set_per_subject(base, excel)
-        data = {sid: load_subject_train_val(base, sid) for sid in SUBJECTS}
+        test = load_test_set_per_subject(base, excel, strict=True)
+        data = {sid: load_subject_train_val(base, sid, strict=True) for sid in SUBJECTS}
         subjects = list(SUBJECTS)
 
     os.makedirs(args.output_dir, exist_ok=True)

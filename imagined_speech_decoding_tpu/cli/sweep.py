@@ -165,7 +165,7 @@ def main(argv=None):
         from ..data.ingest import load_subject_train_val
 
         mcfg = cfg.model
-        x, y = load_subject_train_val(resolve_data_folder(args.data_folder), args.subject)
+        x, y = load_subject_train_val(resolve_data_folder(args.data_folder), args.subject, strict=True)
         label = f"sub-{args.subject}"
 
     n_trials = x.shape[0]

@@ -85,7 +85,7 @@ def load_data(args):
         base = resolve_data_folder(args.data_folder)
         xs, ys = [], []
         for sid in SUBJECTS:
-            x, y = load_subject_train_val(base, sid)
+            x, y = load_subject_train_val(base, sid, strict=True)
             xs.append(x)
             ys.append(y)
         X, Y = np.stack(xs), np.stack(ys)
@@ -97,7 +97,7 @@ def load_data(args):
     elif not args.cache:
         base = resolve_data_folder(args.data_folder)
         excel = resolve_excel_path(base, args.excel_path)
-        test = load_test_set_per_subject(base, excel)
+        test = load_test_set_per_subject(base, excel, strict=True)
     else:
         test = {}
     return X, Y, subjects, test

@@ -169,7 +169,7 @@ def main(argv=None):
         model = make_fast_model(cfg.model)
         base = resolve_data_folder(args.data_folder)
         excel = resolve_excel_path(base, args.excel_path)
-        per_subject = load_test_set_per_subject(base, excel)
+        per_subject = load_test_set_per_subject(base, excel, strict=True)
         subjects = [s for s in SUBJECTS if s in per_subject]
         template_p, template_s = model.init(jax.random.PRNGKey(0))
         ps, ss = [], []

@@ -23,6 +23,67 @@ from .constants import SUBJECTS, TARGET_TIMEPOINTS
 
 Arrays = Tuple[np.ndarray, np.ndarray]
 
+#: Documented raw-file geometry (BCIC2020 Track #3): 795 samples at
+#: 256 Hz per trial pre-pad, 64 electrodes, 5 classes, and per-split
+#: trial counts of 300 train / 50 validation / 50 test per subject
+#: (SURVEY.md §0; reference ``src/fast/data/preprocess.py:49-129``,
+#: which accepts any shapes and fails silently downstream — strict
+#: mode here fails loudly instead).
+RAW_TIMEPOINTS = 795
+N_CLASSES = 5
+SPLIT_TRIALS = {"epo_train": 300, "epo_validation": 50, "epo_test": 50}
+
+
+class SchemaError(ValueError):
+    """A raw dataset file deviates from the documented BCIC2020 schema
+    (raised only in ``strict=True`` mode; the default mode keeps the
+    reference's permissive behavior)."""
+
+
+def _check(cond: bool, path: str, msg: str) -> None:
+    if not cond:
+        raise SchemaError(f"{path}: {msg}")
+
+
+def _validate_v5_epochs(path: str, struct: str, x_disk, y_disk) -> None:
+    """Strict checks on an on-disk v5 epoch struct: ``x (T, C, N)``
+    float, ``y (K, N)`` exactly-one-hot, documented electrode count,
+    raw sample count, class count and per-split trial count."""
+    from .constants import Electrodes
+
+    n_ch = len(Electrodes)
+    _check(
+        x_disk.ndim == 3, path,
+        f"'{struct}.x' must be 3-D (T, C, N); got shape {x_disk.shape}",
+    )
+    t, c, n = x_disk.shape
+    _check(
+        t in (RAW_TIMEPOINTS, TARGET_TIMEPOINTS), path,
+        f"'{struct}.x' has {t} samples per trial; expected {RAW_TIMEPOINTS} "
+        f"raw (or {TARGET_TIMEPOINTS} pre-padded)",
+    )
+    _check(
+        c == n_ch, path,
+        f"'{struct}.x' has {c} channels; the documented montage has {n_ch} "
+        f"electrodes",
+    )
+    # Exact per-split trial TOTALS are the cache manifest's job
+    # (``data.cache.manifest_check``) — file-level strictness validates
+    # everything that makes arrays silently WRONG (layout, montage,
+    # labels), not merely incomplete.
+    _check(
+        y_disk.ndim == 2 and y_disk.shape == (N_CLASSES, n), path,
+        f"'{struct}.y' must be one-hot ({N_CLASSES}, {n}); got shape "
+        f"{getattr(y_disk, 'shape', None)}",
+    )
+    y_num = np.asarray(y_disk, np.float64)
+    ok = np.isin(y_num, (0.0, 1.0)).all() and (y_num.sum(axis=0) == 1.0).all()
+    _check(
+        ok, path,
+        f"'{struct}.y' is not exactly-one-hot (each column must have a "
+        f"single 1); label decoding via argmax would be silently wrong",
+    )
+
 
 def _edge_pad_time(x: np.ndarray, target: int = TARGET_TIMEPOINTS) -> np.ndarray:
     """Edge-pad the trailing time axis of ``(N, C, T)`` up to ``target``."""
@@ -32,31 +93,78 @@ def _edge_pad_time(x: np.ndarray, target: int = TARGET_TIMEPOINTS) -> np.ndarray
     return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, target - t)], mode="edge")
 
 
-def _load_mat_epochs(path: str, struct: str) -> Arrays:
+def _load_mat_epochs(path: str, struct: str, strict: bool = False) -> Arrays:
     """Read one v5 ``.mat`` epoch struct → ``(N, C, T)`` float32, int labels.
 
     The on-disk layout is ``x: (T, C, N)`` and ``y: (K, N)`` one-hot
-    (reference: ``src/fast/data/preprocess.py:57-62``).
+    (reference: ``src/fast/data/preprocess.py:57-62``). ``strict=True``
+    validates the documented schema (:func:`_validate_v5_epochs`) and
+    raises :class:`SchemaError` with an actionable message on any
+    deviation — the reference would instead produce silently wrong
+    arrays (wrong transpose, bogus argmax labels).
     """
     import scipy.io
 
     data = scipy.io.loadmat(path)
+    if strict and struct not in data:
+        keys = [k for k in data if not k.startswith("__")]
+        raise SchemaError(
+            f"{path}: missing '{struct}' struct; file contains {keys}"
+        )
     node = data[struct]
+    if strict:
+        fields = getattr(node.dtype, "names", None) or ()
+        _check(
+            "x" in fields and "y" in fields, path,
+            f"'{struct}' struct must have 'x' and 'y' fields; got {list(fields)}",
+        )
     x = np.asarray(node["x"][0][0])
-    y = np.asarray(node["y"][0][0]).argmax(0)
+    y_disk = np.asarray(node["y"][0][0])
+    if strict:
+        _validate_v5_epochs(path, struct, x, y_disk)
+    y = y_disk.argmax(0)
     x = np.transpose(x, (2, 1, 0)).astype(np.float32)
     x = _edge_pad_time(x)
     return x, y.astype(np.uint8)
 
 
-def _load_mat73_test(path: str) -> np.ndarray:
+def _load_mat73_test(path: str, strict: bool = False) -> np.ndarray:
     """Read a v7.3 test ``.mat`` → ``(N, C, T)`` float32 (no labels inside)."""
     import h5py
 
+    from .constants import Electrodes
+
     with h5py.File(path, "r") as f:
         if "epo_test" not in f:
+            if strict:
+                raise SchemaError(
+                    f"{path}: no 'epo_test' group; file contains "
+                    f"{sorted(f.keys())}"
+                )
             raise KeyError(f"{path}: no 'epo_test' group")
+        if strict and "x" not in f["epo_test"]:
+            raise SchemaError(
+                f"{path}: 'epo_test' group has no 'x' dataset; contains "
+                f"{sorted(f['epo_test'].keys())}"
+            )
         x = np.array(f["epo_test"]["x"])
+    if strict:
+        _check(
+            x.ndim == 3, path,
+            f"'epo_test/x' must be 3-D (N, C, T); got shape {x.shape}",
+        )
+        n, c, t = x.shape
+        _check(
+            t in (RAW_TIMEPOINTS, TARGET_TIMEPOINTS), path,
+            f"'epo_test/x' has {t} samples per trial; expected "
+            f"{RAW_TIMEPOINTS} raw (or {TARGET_TIMEPOINTS} pre-padded)",
+        )
+        _check(
+            c == len(Electrodes), path,
+            f"'epo_test/x' has {c} channels; the documented montage has "
+            f"{len(Electrodes)} electrodes",
+        )
+        del n  # trial totals are manifest_check's job (see _validate_v5_epochs)
     x = x.astype(np.float32)
     return _edge_pad_time(x)
 
@@ -120,7 +228,9 @@ def _read_xlsx_stdlib(path: str):
     return pd.DataFrame(grid)
 
 
-def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[str, np.ndarray]:
+def load_excel_labels(
+    excel_path: str, n_subjects: int = len(SUBJECTS), strict: bool = False
+) -> Dict[str, np.ndarray]:
     """Parse the competition answer sheet → per-subject label arrays (0-4).
 
     Layout (reference: ``src/fast/data/preprocess.py:104-121``): subject
@@ -146,9 +256,22 @@ def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[
                 else:
                     raise
     out: Dict[str, np.ndarray] = {}
+    n_rows = SPLIT_TRIALS["epo_test"]
     for i in range(n_subjects):
         col = 2 * (i + 1)
-        raw = pd.to_numeric(df.iloc[3:53, col], errors="coerce").to_numpy(np.float64)
+        if strict and col >= df.shape[1]:
+            raise SchemaError(
+                f"{excel_path}: answer sheet has only {df.shape[1]} columns "
+                f"but subject {SUBJECTS[i]}'s labels live in column {col} "
+                f"(layout: subject i occupies column 2*i, rows 4-53)"
+            )
+        raw = pd.to_numeric(df.iloc[3 : 3 + n_rows, col], errors="coerce").to_numpy(np.float64)
+        if strict and raw.shape[0] != n_rows:
+            raise SchemaError(
+                f"{excel_path}: answer sheet column {col} (subject "
+                f"{SUBJECTS[i]}) has {raw.shape[0]} label rows; the official "
+                f"test split has {n_rows}"
+            )
         # Validate BEFORE the uint8 cast: a NaN (blank/non-numeric cell)
         # or out-of-range value would silently wrap to a fake class id
         # and corrupt every downstream test metric.
@@ -164,14 +287,17 @@ def load_excel_labels(excel_path: str, n_subjects: int = len(SUBJECTS)) -> Dict[
     return out
 
 
-def _collect_split(base_folder: str, split: str, struct: str, verbose: bool = True) -> Arrays:
+def _collect_split(
+    base_folder: str, split: str, struct: str, verbose: bool = True,
+    strict: bool = False,
+) -> Arrays:
     xs, ys = [], []
     folder = os.path.join(base_folder, split)
     for sid in SUBJECTS:
         path = os.path.join(folder, f"Data_Sample{sid}.mat")
         if not os.path.exists(path):
             continue
-        x, y = _load_mat_epochs(path, struct)
+        x, y = _load_mat_epochs(path, struct, strict=strict)
         xs.append(x)
         ys.append(y)
         if verbose:
@@ -181,19 +307,33 @@ def _collect_split(base_folder: str, split: str, struct: str, verbose: bool = Tr
     return np.concatenate(xs, axis=0), np.concatenate(ys, axis=0)
 
 
-def load_training_set(base_folder: str, verbose: bool = True) -> Arrays:
-    """All subjects' official training trials, concatenated (N, C, T)."""
-    return _collect_split(base_folder, "Training set", "epo_train", verbose)
+def load_training_set(
+    base_folder: str, verbose: bool = True, strict: bool = False
+) -> Arrays:
+    """All subjects' official training trials, concatenated (N, C, T).
+
+    ``strict=True`` (the CLIs' default) validates every file against the
+    documented schema and raises :class:`SchemaError` on deviation;
+    missing subject files are still tolerated (per-split failure
+    tolerance is a separate, orthogonal contract).
+    """
+    return _collect_split(base_folder, "Training set", "epo_train", verbose, strict)
 
 
-def load_validation_set(base_folder: str, verbose: bool = True) -> Arrays:
+def load_validation_set(
+    base_folder: str, verbose: bool = True, strict: bool = False
+) -> Arrays:
     """All subjects' official validation trials, concatenated (N, C, T)."""
-    return _collect_split(base_folder, "Validation set", "epo_validation", verbose)
+    return _collect_split(
+        base_folder, "Validation set", "epo_validation", verbose, strict
+    )
 
 
-def load_test_set(base_folder: str, excel_path: str, verbose: bool = True) -> Arrays:
+def load_test_set(
+    base_folder: str, excel_path: str, verbose: bool = True, strict: bool = False
+) -> Arrays:
     """All subjects' official test trials + answer-sheet labels."""
-    per_subject = load_test_set_per_subject(base_folder, excel_path, verbose)
+    per_subject = load_test_set_per_subject(base_folder, excel_path, verbose, strict)
     xs = [per_subject[sid][0] for sid in SUBJECTS if sid in per_subject]
     ys = [per_subject[sid][1] for sid in SUBJECTS if sid in per_subject]
     if not xs:
@@ -202,30 +342,35 @@ def load_test_set(base_folder: str, excel_path: str, verbose: bool = True) -> Ar
 
 
 def load_test_set_per_subject(
-    base_folder: str, excel_path: str, verbose: bool = True
+    base_folder: str, excel_path: str, verbose: bool = True, strict: bool = False
 ) -> Dict[str, Arrays]:
     """Official test split keyed by subject ID (for per-subject evaluation)."""
     folder = os.path.join(base_folder, "Test set")
-    labels = load_excel_labels(excel_path)
+    labels = load_excel_labels(excel_path, strict=strict)
     out: Dict[str, Arrays] = {}
     for sid in SUBJECTS:
         path = os.path.join(folder, f"Data_Sample{sid}.mat")
         if not os.path.exists(path):
             continue
-        x = _load_mat73_test(path)
+        x = _load_mat73_test(path, strict=strict)
+        if strict and x.shape[0] != labels[sid].shape[0]:
+            raise SchemaError(
+                f"{path}: {x.shape[0]} test trials but the answer sheet has "
+                f"{labels[sid].shape[0]} labels for subject {sid}"
+            )
         out[sid] = (x, labels[sid])
         if verbose:
             print(f"  Test S{sid}: {x.shape}")
     return out
 
 
-def load_subject_train_val(base_folder: str, sid: str) -> Arrays:
+def load_subject_train_val(base_folder: str, sid: str, strict: bool = False) -> Arrays:
     """One subject's train+validation trials merged (the per-subject CV pool)."""
     parts_x, parts_y = [], []
     for split, struct in (("Training set", "epo_train"), ("Validation set", "epo_validation")):
         path = os.path.join(base_folder, split, f"Data_Sample{sid}.mat")
         if os.path.exists(path):
-            x, y = _load_mat_epochs(path, struct)
+            x, y = _load_mat_epochs(path, struct, strict=strict)
             parts_x.append(x)
             parts_y.append(y)
     if not parts_x:

@@ -337,3 +337,228 @@ class TestLabelValidation:
         open(csv, "w").write("\n".join(rows) + "\n")
         with pytest.raises(ValueError, match="invalid label cells"):
             load_excel_labels(csv)
+
+
+class TestStrictSchema:
+    """``strict=True`` fails LOUDLY on schema deviations the reference
+    (``src/fast/data/preprocess.py:49-129``) silently mis-loads: wrong
+    montage width, wrong sample count, missing keys, non-one-hot labels,
+    sheet/trial count mismatches (VERDICT r4 item 7). File-level checks
+    guard against silently WRONG arrays; per-split trial totals are the
+    cache manifest's job (``manifest_check``)."""
+
+    def _v5(self, path, struct="epo_train", n=4, n_ch=64, t=795, mutate=None):
+        import scipy.io
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(t, n_ch, n))
+        labels = rng.integers(0, K, n)
+        y = np.eye(K)[labels].T
+        payload = {"x": x, "y": y}
+        if mutate:
+            mutate(payload)
+        scipy.io.savemat(path, {struct: payload})
+        return labels
+
+    def test_accepts_documented_schema(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import _load_mat_epochs
+
+        p = str(tmp_path / "good.mat")
+        labels = self._v5(p)
+        x, y = _load_mat_epochs(p, "epo_train", strict=True)
+        assert x.shape == (4, 64, TARGET_TIMEPOINTS)
+        np.testing.assert_array_equal(y, labels)
+
+    def test_default_mode_stays_permissive(self, tmp_path):
+        """strict=False keeps the reference's permissive contract — a
+        6-channel fixture (this suite's own idiom) still loads."""
+        from imagined_speech_decoding_tpu.data.ingest import _load_mat_epochs
+
+        p = str(tmp_path / "small.mat")
+        self._v5(p, n_ch=6)
+        x, _ = _load_mat_epochs(p, "epo_train", strict=False)
+        assert x.shape == (4, 6, TARGET_TIMEPOINTS)
+
+    def test_wrong_channel_count(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat_epochs,
+        )
+
+        p = str(tmp_path / "bad_ch.mat")
+        self._v5(p, n_ch=6)
+        with pytest.raises(SchemaError, match="6 channels.*64"):
+            _load_mat_epochs(p, "epo_train", strict=True)
+
+    def test_wrong_sample_count(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat_epochs,
+        )
+
+        p = str(tmp_path / "bad_t.mat")
+        self._v5(p, t=700)
+        with pytest.raises(SchemaError, match="700 samples.*795"):
+            _load_mat_epochs(p, "epo_train", strict=True)
+
+    def test_missing_struct(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat_epochs,
+        )
+
+        p = str(tmp_path / "wrong_struct.mat")
+        self._v5(p, struct="epo_other")
+        with pytest.raises(SchemaError, match="missing 'epo_train'.*epo_other"):
+            _load_mat_epochs(p, "epo_train", strict=True)
+
+    def test_missing_field(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat_epochs,
+        )
+
+        p = str(tmp_path / "no_y.mat")
+        self._v5(p, mutate=lambda d: d.pop("y"))
+        with pytest.raises(SchemaError, match="'x' and 'y' fields"):
+            _load_mat_epochs(p, "epo_train", strict=True)
+
+    def test_non_one_hot_labels(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat_epochs,
+        )
+
+        def corrupt(d):
+            d["y"][:, 1] = 0.0  # a column with no 1 — argmax would fake class 0
+
+        p = str(tmp_path / "bad_y.mat")
+        self._v5(p, mutate=corrupt)
+        with pytest.raises(SchemaError, match="one-hot"):
+            _load_mat_epochs(p, "epo_train", strict=True)
+
+    def test_mat73_wrong_channels(self, tmp_path):
+        import h5py
+
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat73_test,
+        )
+
+        p = str(tmp_path / "t.mat")
+        with h5py.File(p, "w") as f:
+            f.create_group("epo_test").create_dataset(
+                "x", data=np.zeros((50, 6, 795), np.float32)
+            )
+        with pytest.raises(SchemaError, match="6 channels.*64"):
+            _load_mat73_test(p, strict=True)
+
+    def test_mat73_missing_group(self, tmp_path):
+        import h5py
+
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            _load_mat73_test,
+        )
+
+        p = str(tmp_path / "t.mat")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("other", data=np.zeros((3,)))
+        with pytest.raises(SchemaError, match="no 'epo_test' group.*other"):
+            _load_mat73_test(p, strict=True)
+
+    def test_sheet_short_column(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            load_excel_labels,
+        )
+
+        labels = [np.random.default_rng(i).integers(0, K, 50) for i in range(len(SUBJECTS))]
+        csv = str(tmp_path / "answers.csv")
+        _write_answer_csv(csv, labels)
+        rows = open(csv).read().splitlines()
+        open(csv, "w").write("\n".join(rows[:-2]) + "\n")  # drop 2 label rows
+        with pytest.raises(SchemaError, match="48 label rows.*50"):
+            load_excel_labels(csv, strict=True)
+
+    def test_test_trials_vs_sheet_mismatch(self, tmp_path):
+        import h5py
+
+        from imagined_speech_decoding_tpu.data.ingest import (
+            SchemaError,
+            load_test_set_per_subject,
+        )
+
+        base = str(tmp_path)
+        os.makedirs(os.path.join(base, "Test set"))
+        labels = [np.random.default_rng(i).integers(0, K, 50) for i in range(len(SUBJECTS))]
+        csv = os.path.join(base, "Test set", "Track3_Answer Sheet_Test.csv")
+        _write_answer_csv(csv, labels)
+        p = os.path.join(base, "Test set", f"Data_Sample{SUBJECTS[0]}.mat")
+        with h5py.File(p, "w") as f:
+            f.create_group("epo_test").create_dataset(
+                "x", data=np.zeros((10, 64, 795), np.float32)
+            )
+        with pytest.raises(SchemaError, match="10 test trials.*50 labels"):
+            load_test_set_per_subject(base, csv, verbose=False, strict=True)
+
+
+class TestManifestCheck:
+    """Cache-level manifest validation (``data.cache.manifest_check``):
+    per-split totals and tensor geometry must match the documented
+    dataset (VERDICT r4 item 7's 'manifest check')."""
+
+    def _official(self, path, n_train=600, n_ch=64, t=800):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            # gzip+chunked with no writes: shapes exist, no data stored
+            f.create_dataset(
+                "X_train", shape=(n_train, n_ch, t), dtype="f4",
+                compression="gzip", chunks=(1, n_ch, t),
+            )
+            f.create_dataset("Y_train", shape=(n_train,), dtype="u1",
+                             compression="gzip", chunks=(n_train,))
+
+    def test_official_ok(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+
+        p = str(tmp_path / "c.h5")
+        self._official(p)
+        shapes = manifest_check(p, verbose=False)
+        assert shapes["X_train"] == (600, 64, 800)
+
+    def test_official_bad_trial_total(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+        from imagined_speech_decoding_tpu.data.ingest import SchemaError
+
+        p = str(tmp_path / "c.h5")
+        self._official(p, n_train=590)  # not a multiple of 300
+        with pytest.raises(SchemaError, match="train"):
+            manifest_check(p, verbose=False)
+
+    def test_official_bad_channels(self, tmp_path):
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+        from imagined_speech_decoding_tpu.data.ingest import SchemaError
+
+        p = str(tmp_path / "c.h5")
+        self._official(p, n_ch=32)
+        with pytest.raises(SchemaError, match="expected"):
+            manifest_check(p, verbose=False)
+
+    def test_subjects_layout(self, tmp_path):
+        import h5py
+
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+        from imagined_speech_decoding_tpu.data.ingest import SchemaError
+
+        p = str(tmp_path / "s.h5")
+        with h5py.File(p, "w") as f:
+            for sid, n in (("01", 350), ("02", 340)):  # 02 deviates
+                g = f.create_group(sid)
+                g.create_dataset("X", shape=(n, 64, 800), dtype="f4",
+                                 compression="gzip", chunks=(1, 64, 800))
+                g.create_dataset("Y", shape=(n,), dtype="u1",
+                                 compression="gzip", chunks=(n,))
+        with pytest.raises(SchemaError, match="02"):
+            manifest_check(p, verbose=False)
