@@ -344,6 +344,78 @@ class TestFusedFullseqEquivalence:
             )
 
 
+class TestKnobMatrix:
+    """Guard against knob rot (VERDICT r4 weak #5): every documented
+    value of the formulation/remat env knobs must still trace and agree
+    with the default at tiny geometry. The forward/grad matrix over
+    ``ISD_CONV4_FIRST x ISD_CONV4_TAILS`` lives in
+    ``TestFusedFullseqEquivalence``; this class covers the remaining
+    knobs — the INFERENCE-only selector ``ISD_CONV4_TAILS_EVAL``
+    (models/heads.py::_conv4_tails_impl) and the remat save-point tags
+    ``ISD_REMAT_SAVE`` (models/fast.py) — so no selectable formulation
+    rots undiscovered until a user sets the env var."""
+
+    _setup = TestFusedFullseqEquivalence._setup
+
+    # Every tails formulation _conv4_tails accepts (heads.py dispatch).
+    TAILS_VALUES = [
+        "patches", "pertap", "conv", "convnhwc", "nhwc2", "dense",
+        "dense_g2", "dense_g4", "dense_s2", "dense_s4", "fullseq",
+        "conv2", "conv2c", "dense2", "fullseq2",
+    ]
+
+    @pytest.mark.parametrize("tails_eval", TAILS_VALUES)
+    def test_eval_tails_knob(self, tails_eval, monkeypatch):
+        """``ISD_CONV4_TAILS_EVAL`` alone (train knob untouched) selects
+        the train=False formulation; every value matches the default."""
+        from imagined_speech_decoding_tpu.models.heads import (
+            conv4layers_fused_all_zones_fullseq,
+        )
+
+        layout, params, x = self._setup()
+        monkeypatch.delenv("ISD_CONV4_FIRST", raising=False)
+        monkeypatch.delenv("ISD_CONV4_TAILS", raising=False)
+        monkeypatch.delenv("ISD_CONV4_TAILS_EVAL", raising=False)
+        ref = np.asarray(conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, 64, 32, train=False
+        ))
+        monkeypatch.setenv("ISD_CONV4_TAILS_EVAL", tails_eval)
+        out = np.asarray(conv4layers_fused_all_zones_fullseq(
+            params, x, layout.indices, layout.mask, 64, 32, train=False
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize(
+        "save", [None, "tails_h3", "tails_h4", "tails_h3,tails_h4"]
+    )
+    def test_remat_save_knob(self, save, small_config, dummy_eeg_small, monkeypatch):
+        """Every documented ``ISD_REMAT_SAVE`` tag list still traces the
+        remat model and reproduces the default policy's logits AND
+        gradients (the tags only change what backward recomputes)."""
+        from imagined_speech_decoding_tpu.models.api import make_fast_model
+
+        x = jnp.asarray(dummy_eeg_small)
+        model = make_fast_model(small_config, remat=True, head_micro_batch=8)
+
+        def loss(p, s):
+            logits, _ = model.apply(p, s, x, train=True, rng=jax.random.PRNGKey(2))
+            return jnp.sum(logits * logits), logits
+
+        monkeypatch.delenv("ISD_REMAT_SAVE", raising=False)
+        params, state = model.init(jax.random.PRNGKey(0))
+        (l_ref, logits_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(params, state)
+        if save is not None:
+            monkeypatch.setenv("ISD_REMAT_SAVE", save)
+        (l, logits), g = jax.value_and_grad(loss, has_aux=True)(params, state)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_ref), rtol=1e-5, atol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
+
 class TestHeadFamilies:
     @pytest.mark.parametrize("head_name", list(HEAD_REGISTRY))
     def test_output_shape(self, head_name):
