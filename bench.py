@@ -242,19 +242,30 @@ def main():
     # figure shows what the hardware actually sustains.
     from imagined_speech_decoding_tpu.models.heads import _conv4_tails_impl
 
+    def _exec_mult(impl: str) -> int:
+        """Executed-FLOPs multiplier of the block-diagonal de-groupings:
+        fully dense (incl. the composed `dense2`) = Z x, partial
+        (`dense_gG` one grouped conv / `dense_sG` G separate convs) =
+        (Z/G) x per zone. Mirrors heads.py's fallback: a non-numeric
+        suffix or G that does not divide Z runs fully dense there, so
+        it is charged Z x here too."""
+        if impl in ("dense", "dense2"):
+            return n_zones
+        if impl.startswith(("dense_g", "dense_s")):
+            try:
+                g = int(impl[7:])
+            except ValueError:
+                return n_zones
+            return n_zones if g <= 0 or n_zones % g else n_zones // g
+        return 1
+
     tails_impl = _conv4_tails_impl(train=True)
-    # Executed-FLOPs multiplier of the block-diagonal de-groupings:
-    # fully dense = Z x, partial (`dense_gG` one grouped conv /
-    # `dense_sG` G separate convs) = (Z/G) x per zone.
-    if tails_impl == "dense":
-        exec_mult = n_zones
-    elif tails_impl.startswith(("dense_g", "dense_s")):
-        exec_mult = n_zones // int(tails_impl[7:])
-    else:
-        exec_mult = 1
+    tails_impl_eval = _conv4_tails_impl(train=False)
+    exec_mult = _exec_mult(tails_impl)
+    exec_mult_eval = _exec_mult(tails_impl_eval)
     run_flops_exec = (
         3 * (first_flops + exec_mult * tails_flops) * trainpass_windows
-        + fwd_flops_per_window * eval_pass_windows  # eval uses conv2 tails
+        + (first_flops + exec_mult_eval * tails_flops) * eval_pass_windows
     )
     peak_tflops = measure_peak_matmul_tflops()
     achieved_tflops = run_flops / max(t_train, 1e-9) / 1e12
@@ -454,6 +465,7 @@ def main():
             "achieved_tflops": round(achieved_tflops, 2),
             "executed_tflops": round(executed_tflops, 2),
             "tails_impl": tails_impl,
+            "tails_impl_eval": tails_impl_eval,
             "measured_peak_matmul_tflops": round(peak_tflops, 1),
             "mfu": round(mfu, 4),
             "mfu_executed": round(mfu_exec, 4),
