@@ -137,15 +137,45 @@ def main():
     # + chance on flipped) so the convergence number is a pinned
     # INTERMEDIATE value — training-math regressions show as a drop
     # below ACC_EXPECTED_RANGE instead of being masked by saturation.
+    #
+    # CHUNKED generation (VERDICT r4 #4): the corpus is built by 6
+    # invocations of one 875-trial program + one on-device concat, not
+    # one monolithic 5250-trial program. The remote service's cost to
+    # stand up a cold program scales superlinearly (and with high
+    # variance) in its output size — measured on this tunnel: a fresh
+    # 1 GB-output generator's first invocation took 68 s on one attempt
+    # and >9 min on another, while an 875-trial (~180 MB) program warms
+    # in seconds; r3/r4 benches burned 408 s / 116 s here. Chunked:
+    # 43 s cold, <1 s warm (the service caches programs across
+    # processes, so the driver's bench after a same-host prewarm starts
+    # its timed region in seconds). Chunk keys are fold_in(seed, i) —
+    # deterministic, same statistics; the convergence band below was
+    # re-validated on the chunked stream.
     t0 = time.perf_counter()
-    x_flat, y_flat = jax.jit(
+    n_chunks = 6
+    per_chunk = N_SUBJECTS * N_TRIALS // n_chunks
+    assert per_chunk * n_chunks == N_SUBJECTS * N_TRIALS
+    gen = jax.jit(
         lambda k: synthetic_trials_device(
-            k, N_SUBJECTS * N_TRIALS, cfg.n_channels, cfg.seq_len, cfg.n_classes,
+            k, per_chunk, cfg.n_channels, cfg.seq_len, cfg.n_classes,
             label_noise=LABEL_NOISE,
         )
-    )(jax.random.PRNGKey(0))
+    )
+    parts = [gen(jax.random.fold_in(jax.random.PRNGKey(0), i)) for i in range(n_chunks)]
+    x_flat, y_flat = jax.jit(
+        lambda ps: (jnp.concatenate([p[0] for p in ps]),
+                    jnp.concatenate([p[1] for p in ps]))
+    )(parts)
     sync_scalar(x_flat)  # block_until_ready is unreliable on the axon backend
-    log(f"bench: corpus generated on device in {time.perf_counter() - t0:.2f}s")
+    # Free the chunk buffers NOW: holding them alongside the concatenated
+    # corpus doubles its HBM (+1.07 GB) into the 75-model stack -> OOM.
+    for xp, yp in parts:
+        xp.delete()
+        yp.delete()
+    del parts
+    t_corpus = time.perf_counter() - t0
+    log(f"bench: corpus generated on device in {t_corpus:.2f}s "
+        f"({n_chunks} x {per_chunk}-trial chunks)")
 
     # ---- preprocessing: notch + bandpass over the whole corpus, jitted
     # (both zero-phase IIR passes run through the Pallas biquad kernel) ----
@@ -444,6 +474,7 @@ def main():
             "vs_baseline_trainpass": round(
                 trainpass_windows / max(t_train, 1e-9) / REFERENCE_WINDOWS_PER_SEC, 2
             ),
+            "corpus_gen_s": round(t_corpus, 2),
             "preprocess_s": round(t_pre, 3),
             "train_s": round(t_train, 3),
             "models": m_count,
