@@ -190,6 +190,7 @@ class TestSampleWeightedBN:
         for a, b in zip(jax.tree.leaves(out_state), jax.tree.leaves(ref_state)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_engine_passes_weights(self):
         """One full fit step with a ragged final batch: BN running stats
         must equal a manual weighted-apply over the same batches."""

@@ -156,8 +156,8 @@ class TestTrainBaselinesCLI:
         "name,extra",
         [
             ("bandpower_mlp", []),
-            ("stft_eegnet", []),
-            ("cnn_bilstm", ["--augment"]),
+            pytest.param("stft_eegnet", [], marks=pytest.mark.slow),
+            pytest.param("cnn_bilstm", ["--augment"], marks=pytest.mark.slow),
         ],
     )
     def test_synthetic_e2e(self, name, extra, tmp_path):
@@ -180,6 +180,7 @@ class TestTrainBaselinesCLI:
             assert os.path.exists(os.path.join(sub, "best_subject.npz"))
             assert os.path.exists(os.path.join(sub, "test_predictions.csv"))
 
+    @pytest.mark.slow
     def test_subject_group_produces_same_artifact_tree(self, tmp_path):
         """--subject_group (the HBM lever for cnn_bilstm at real
         geometry) still writes the full per-subject tree."""

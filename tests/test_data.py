@@ -98,7 +98,10 @@ class TestCacheRoundTrip:
             )
             for sid in SUBJECTS[:3]
         }
-        monkeypatch.setattr(ingest, "load_subject_train_val", lambda folder, sid: data[sid])
+        monkeypatch.setattr(
+            ingest, "load_subject_train_val",
+            lambda folder, sid, strict=False: data[sid],
+        )
 
         path = f"{tmp_dir}/cache.h5"
         build_subject_cache("unused", path, subjects=SUBJECTS[:3], verbose=False)

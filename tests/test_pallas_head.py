@@ -59,6 +59,7 @@ class TestFusedHeadParity:
             np.asarray(logits_p), np.asarray(logits_x), rtol=1e-5, atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_param_grads_match_xla(self, setup, cfg):
         params, state, x, y = setup
         with pltpu.force_tpu_interpret_mode():

@@ -41,7 +41,14 @@ def _fit_kwargs():
 class TestSweepExactness:
     """Sweep-mode fit == rebuilt-optimizer fit, to float rounding."""
 
-    @pytest.mark.parametrize("c,w", [(1.0, 1.0), (2.3, 0.4), (0.25, 10.0)])
+    @pytest.mark.parametrize(
+        "c,w",
+        [
+            (1.0, 1.0),
+            pytest.param(2.3, 0.4, marks=pytest.mark.slow),
+            pytest.param(0.25, 10.0, marks=pytest.mark.slow),
+        ],
+    )
     def test_matches_rebuilt_optimizer(self, small_config, small_corpus, c, w):
         model = make_fast_model(small_config)
         X, Y = small_corpus
@@ -77,7 +84,11 @@ class TestSweepExactness:
                 np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3
             )
 
-    @pytest.mark.parametrize("warmup", [0, 1, 3])
+    @pytest.mark.parametrize(
+        "warmup",
+        [0, pytest.param(1, marks=pytest.mark.slow),
+         pytest.param(3, marks=pytest.mark.slow)],
+    )
     def test_lr_table_matches_rebuilt_warmup(self, small_config, small_corpus, warmup):
         """A per-model lr TABLE (the warmup-sweep mechanism) reproduces a
         plain fit rebuilt with that warmup length — the schedule shape
@@ -201,6 +212,7 @@ class TestGrid:
         # lr column carries absolute values (base 5e-4 x scales)
         np.testing.assert_allclose(report.lr, [2.5e-4, 5e-4])
 
+    @pytest.mark.slow
     def test_cv_sweep_warmup_grid(self, small_config, small_corpus):
         """The third (warmup) grid axis: report geometry, per-row warmup
         values, and that warmup actually changes trajectories."""
@@ -220,6 +232,7 @@ class TestGrid:
         h = report.history["loss"]
         assert not np.allclose(h[0], h[1])
 
+    @pytest.mark.slow
     def test_cv_sweep_segmented_matches_whole_run(self, small_config, small_corpus):
         """The segmented executor is the same math AND the same key
         stream as one whole-run program: the engine derives epoch keys
@@ -269,6 +282,7 @@ class TestSweepCLI:
         assert os.path.exists(os.path.join(out, "best.json"))
         assert report.fold_val_acc.shape == (2, 3)
 
+    @pytest.mark.slow
     def test_synthetic_cli_warmup_grid(self, tmp_path, monkeypatch, small_config):
         from imagined_speech_decoding_tpu.cli import sweep as cli_sweep
         from imagined_speech_decoding_tpu import config as config_mod

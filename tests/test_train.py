@@ -455,6 +455,7 @@ class TestSubjectGrouping:
 
 
 class TestScheduleOverride:
+    @pytest.mark.slow
     def test_custom_schedule_drives_lr(self, small_config):
         """make_fit(schedule=...) must govern the actual step sizes: an
         all-zero schedule freezes the model; the default one trains."""
