@@ -788,7 +788,45 @@ def conv4layers_fused_all_zones_fullseq(
     from jax.ad_checkpoint import checkpoint_name
 
     hw = checkpoint_name(hw, "tails_h2")
+    hw = _maybe_pin_h2_layout(hw)
     return _conv4_tails(params, hw, impl).reshape(b, n, *hw.shape[1:3])
+
+
+def _maybe_pin_h2_layout(hw):
+    """Pin the window-stack activation's layout (VERDICT r4 #2 — the
+    direct attack on the ~21% relayout-copy share after every axis-order
+    rewrite measured null, docs/PERFORMANCE.md).
+
+    ``ISD_H2_LAYOUT`` is a comma-separated major-to-minor permutation
+    for the ``(B*N, Z, O, T1)`` tensor; empty string disables. Default
+    ON TPU: ``"0,1,2,3"`` (row-major) — pinning the tensor to its
+    producer's natural layout removes XLA layout assignment's freedom
+    to re-lay it mid-program. Measured at the production 75-model fit
+    (experiments/r5_layout.py, four independent A/B pairs, unchunked
+    AND 512-chunk): +0.5-0.7% windows/s, every pinned run faster than
+    every unpinned one. The OTHER perms measured worse (O-minor OOMs
+    at compile with a 4x-padded copy; B-minor -3%; 0,2,1,3 -5%), and
+    XLA-chosen AUTO entry layouts were inconclusive (re-laying the
+    corpus + 25/64 args OOMs at this stack size) — so row-major-pinned
+    is the ceiling this avenue yields. Default OFF elsewhere (the
+    constraint is TPU-tiling-specific). No-op fallback if the
+    experimental layout API is unavailable."""
+    import os
+
+    spec = os.environ.get("ISD_H2_LAYOUT")
+    if spec is None:
+        import jax
+
+        spec = "0,1,2,3" if jax.default_backend() == "tpu" else ""
+    if not spec:
+        return hw
+    try:
+        from jax.experimental.layout import Layout, with_layout_constraint
+    except ImportError:
+        return hw
+
+    perm = tuple(int(s) for s in spec.split(","))
+    return with_layout_constraint(hw, Layout(perm))
 
 
 def conv4layers_prepare_fused_weights(params, indices, mask, c_full: int):
