@@ -42,10 +42,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_point(n_models: int, x_flat, y_flat, cfg, model):
+def run_point(n_models: int, x_flat, y_flat, cfg, model, segmented: bool = False):
     from imagined_speech_decoding_tpu.profiling import sync_scalar
     from imagined_speech_decoding_tpu.train.cv import build_cv_index_stack, stacked_init
-    from imagined_speech_decoding_tpu.train.engine import fit_many, make_fit
+    from imagined_speech_decoding_tpu.train.engine import (
+        fit_many,
+        fit_many_segmented,
+        make_fit,
+    )
 
     # n_models beyond S*K reuses fold rows cyclically (the memory/compute
     # shape is what matters here, not fold semantics)
@@ -61,7 +65,18 @@ def run_point(n_models: int, x_flat, y_flat, cfg, model):
         n_train=n_train, n_val=n_val, learning_rate=5e-4,
         warmup_epochs=min(10, EPOCHS), data_dtype=jnp.bfloat16,
     )
-    run = jax.jit(lambda *a: fit_many(fit, *a))
+    if segmented:
+        # The donation lever lives in the segmented executor's jit
+        # (ISD_DONATE); 2-epoch segments, same total epochs.
+        fit = make_fit(
+            model.apply, cfg.n_classes, epochs=2, batch_size=BATCH,
+            n_train=n_train, n_val=n_val, learning_rate=5e-4,
+            warmup_epochs=min(10, EPOCHS), data_dtype=jnp.bfloat16,
+            total_epochs=EPOCHS,
+        )
+        run = lambda *a: fit_many_segmented(fit, *a, total_epochs=EPOCHS)
+    else:
+        run = jax.jit(lambda *a: fit_many(fit, *a))
     t0 = time.perf_counter()
     warm = run(keys, params0, state0, tidx, vidx, x_flat, y_flat)
     float(jnp.sum(warm.best_val_acc))
@@ -73,6 +88,7 @@ def run_point(n_models: int, x_flat, y_flat, cfg, model):
     windows = n_models * EPOCHS * (n_train + n_val) * cfg.n_tokens
     return {
         "models": n_models,
+        "segmented_donate": segmented,
         "corpus_dtype": str(jnp.dtype(x_flat.dtype).name),
         "fit_s": round(dt, 3),
         "windows_per_s": round(windows / max(dt, 1e-9), 1),
@@ -85,7 +101,19 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", type=int, nargs="+", default=[75, 100])
     p.add_argument("--corpus-dtype", type=str, default="bf16", choices=["bf16", "f32"])
+    p.add_argument(
+        "--chunk", type=int, default=256,
+        help="head_micro_batch window budget; 0 = unchunked (the r5 dense "
+        "default — r4 freed the memory that forced chunking)",
+    )
+    p.add_argument(
+        "--donate", action="store_true",
+        help="ISD_DONATE=1 + segmented executor: donate the segment carry "
+        "(the near-ceiling memory lever) instead of the whole-run fit",
+    )
     args = p.parse_args()
+    if args.donate:
+        os.environ["ISD_DONATE"] = "1"
 
     from imagined_speech_decoding_tpu.config import FASTConfig
     from imagined_speech_decoding_tpu.data.synthetic import synthetic_trials_device
@@ -95,29 +123,42 @@ def main():
     log("device:", jax.devices()[0])
     cfg = FASTConfig.default()
     model = make_fast_model(
-        cfg, compute_dtype=jnp.bfloat16, remat=True, head_micro_batch=256
+        cfg, compute_dtype=jnp.bfloat16, remat=True,
+        head_micro_batch=args.chunk or None,
     )
     dt = jnp.bfloat16 if args.corpus_dtype == "bf16" else jnp.float32
-    # Generate + convert in ONE jitted program so HBM never holds both
-    # the f32 and bf16 corpora (a stray f32 reference here is -1.07 GB
-    # of the headroom the experiment exists to measure).
-    x_flat, y_flat = jax.jit(
+    # Chunked generation (see bench.py: the remote service's cold-program
+    # cost scales superlinearly in output size), converting INSIDE each
+    # chunk program so HBM never holds an f32 copy of the full corpus
+    # (a stray f32 reference here is -1.07 GB of the headroom the
+    # experiment exists to measure).
+    per = N_SUBJECTS * N_TRIALS // 6
+    gen = jax.jit(
         lambda k: (
             lambda xy: (xy[0].astype(dt), xy[1])
         )(synthetic_trials_device(
-            k, N_SUBJECTS * N_TRIALS, cfg.n_channels, cfg.seq_len, cfg.n_classes
+            k, per, cfg.n_channels, cfg.seq_len, cfg.n_classes
         ))
-    )(jax.random.PRNGKey(0))
+    )
+    parts = [gen(jax.random.fold_in(jax.random.PRNGKey(0), i)) for i in range(6)]
+    x_flat, y_flat = jax.jit(
+        lambda ps: (jnp.concatenate([p[0] for p in ps]),
+                    jnp.concatenate([p[1] for p in ps]))
+    )(parts)
     sync_scalar(x_flat)
+    for xp, yp in parts:
+        xp.delete()
+        yp.delete()
+    del parts
 
     for m in args.models:
         try:
-            out = run_point(m, x_flat, y_flat, cfg, model)
+            out = run_point(m, x_flat, y_flat, cfg, model, segmented=args.donate)
         except Exception as e:  # noqa: BLE001 — OOM is a data point here
             out = {
                 "models": m,
                 "corpus_dtype": args.corpus_dtype,
-                "error": f"{type(e).__name__}: {str(e)[:300]}",
+                "error": f"{type(e).__name__}: {str(e)[:12000]}",
             }
         print(json.dumps(out), flush=True)
 
