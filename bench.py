@@ -138,44 +138,24 @@ def main():
     # INTERMEDIATE value — training-math regressions show as a drop
     # below ACC_EXPECTED_RANGE instead of being masked by saturation.
     #
-    # CHUNKED generation (VERDICT r4 #4): the corpus is built by 6
-    # invocations of one 875-trial program + one on-device concat, not
-    # one monolithic 5250-trial program. The remote service's cost to
-    # stand up a cold program scales superlinearly (and with high
-    # variance) in its output size — measured on this tunnel: a fresh
-    # 1 GB-output generator's first invocation took 68 s on one attempt
-    # and >9 min on another, while an 875-trial (~180 MB) program warms
-    # in seconds; r3/r4 benches burned 408 s / 116 s here. Chunked:
-    # 43 s cold, <1 s warm (the service caches programs across
-    # processes, so the driver's bench after a same-host prewarm starts
-    # its timed region in seconds). Chunk keys are fold_in(seed, i) —
-    # deterministic, same statistics; the convergence band below was
-    # re-validated on the chunked stream.
-    t0 = time.perf_counter()
-    n_chunks = 6
-    per_chunk = N_SUBJECTS * N_TRIALS // n_chunks
-    assert per_chunk * n_chunks == N_SUBJECTS * N_TRIALS
-    gen = jax.jit(
-        lambda k: synthetic_trials_device(
-            k, per_chunk, cfg.n_channels, cfg.seq_len, cfg.n_classes,
-            label_noise=LABEL_NOISE,
-        )
+    # CHUNKED generation (VERDICT r4 #4): 6 invocations of one 875-trial
+    # program + one on-device concat, not one monolithic 5250-trial
+    # program — the remote service's cold-program cost scales
+    # superlinearly in output size (r3/r4 benches burned 408 s / 116 s
+    # here; chunked: 43 s cold, <1 s warm). Rationale + measurements in
+    # synthetic_trials_device_chunked's docstring; the convergence band
+    # below was re-validated on the chunked stream (0.7505).
+    from imagined_speech_decoding_tpu.data.synthetic import (
+        synthetic_trials_device_chunked,
     )
-    parts = [gen(jax.random.fold_in(jax.random.PRNGKey(0), i)) for i in range(n_chunks)]
-    x_flat, y_flat = jax.jit(
-        lambda ps: (jnp.concatenate([p[0] for p in ps]),
-                    jnp.concatenate([p[1] for p in ps]))
-    )(parts)
-    sync_scalar(x_flat)  # block_until_ready is unreliable on the axon backend
-    # Free the chunk buffers NOW: holding them alongside the concatenated
-    # corpus doubles its HBM (+1.07 GB) into the 75-model stack -> OOM.
-    for xp, yp in parts:
-        xp.delete()
-        yp.delete()
-    del parts
+
+    t0 = time.perf_counter()
+    x_flat, y_flat = synthetic_trials_device_chunked(
+        jax.random.PRNGKey(0), N_SUBJECTS * N_TRIALS, cfg.n_channels,
+        cfg.seq_len, cfg.n_classes, n_chunks=6, label_noise=LABEL_NOISE,
+    )
     t_corpus = time.perf_counter() - t0
-    log(f"bench: corpus generated on device in {t_corpus:.2f}s "
-        f"({n_chunks} x {per_chunk}-trial chunks)")
+    log(f"bench: corpus generated on device in {t_corpus:.2f}s (6 chunks)")
 
     # ---- preprocessing: notch + bandpass over the whole corpus, jitted
     # (both zero-phase IIR passes run through the Pallas biquad kernel) ----

@@ -137,24 +137,16 @@ def main():
 
     log("device:", jax.devices()[0])
     cfg = FASTConfig.default()
-    # Chunked like bench.py: the remote service's cold-program cost
-    # scales superlinearly in output size (see bench.py corpus comment).
-    per = N_SUBJECTS * N_TRIALS // 6
-    gen = jax.jit(
-        lambda k: synthetic_trials_device(
-            k, per, cfg.n_channels, cfg.seq_len, cfg.n_classes
-        )
+    # Chunked like bench.py (service cold-program cost; see
+    # synthetic_trials_device_chunked's docstring).
+    from imagined_speech_decoding_tpu.data.synthetic import (
+        synthetic_trials_device_chunked,
     )
-    parts = [gen(jax.random.fold_in(jax.random.PRNGKey(0), i)) for i in range(6)]
-    x, y = jax.jit(
-        lambda ps: (jnp.concatenate([p[0] for p in ps]),
-                    jnp.concatenate([p[1] for p in ps]))
-    )(parts)
-    sync_scalar(x)
-    for xp, yp in parts:
-        xp.delete()
-        yp.delete()
-    del parts
+
+    x, y = synthetic_trials_device_chunked(
+        jax.random.PRNGKey(0), N_SUBJECTS * N_TRIALS, cfg.n_channels,
+        cfg.seq_len, cfg.n_classes, n_chunks=6,
+    )
     log("corpus ready")
 
     # (name, ISD_H2_LAYOUT value or None, auto_entry)

@@ -74,6 +74,12 @@ def run_point(n_models: int, x_flat, y_flat, cfg, model, segmented: bool = False
             warmup_epochs=min(10, EPOCHS), data_dtype=jnp.bfloat16,
             total_epochs=EPOCHS,
         )
+        # NOTE: each fit_many_segmented call rebuilds its jit wrappers,
+        # so the timed run pays a ~2 s re-trace the fit_many arm does
+        # not — segmented windows/s is slightly understated; the arm's
+        # purpose here is the MEMORY question (does donation fit?), and
+        # its timing claims come from experiments/r4_levers.py which
+        # times steady-state segments within one call.
         run = lambda *a: fit_many_segmented(fit, *a, total_epochs=EPOCHS)
     else:
         run = jax.jit(lambda *a: fit_many(fit, *a))
@@ -127,29 +133,19 @@ def main():
         head_micro_batch=args.chunk or None,
     )
     dt = jnp.bfloat16 if args.corpus_dtype == "bf16" else jnp.float32
-    # Chunked generation (see bench.py: the remote service's cold-program
-    # cost scales superlinearly in output size), converting INSIDE each
-    # chunk program so HBM never holds an f32 copy of the full corpus
-    # (a stray f32 reference here is -1.07 GB of the headroom the
+    # Chunked generation (synthetic_trials_device_chunked docstring has
+    # the service-variance rationale), converting INSIDE each chunk
+    # program via dtype= so HBM never holds an f32 copy of the full
+    # corpus (a stray f32 reference here is -1.07 GB of the headroom the
     # experiment exists to measure).
-    per = N_SUBJECTS * N_TRIALS // 6
-    gen = jax.jit(
-        lambda k: (
-            lambda xy: (xy[0].astype(dt), xy[1])
-        )(synthetic_trials_device(
-            k, per, cfg.n_channels, cfg.seq_len, cfg.n_classes
-        ))
+    from imagined_speech_decoding_tpu.data.synthetic import (
+        synthetic_trials_device_chunked,
     )
-    parts = [gen(jax.random.fold_in(jax.random.PRNGKey(0), i)) for i in range(6)]
-    x_flat, y_flat = jax.jit(
-        lambda ps: (jnp.concatenate([p[0] for p in ps]),
-                    jnp.concatenate([p[1] for p in ps]))
-    )(parts)
-    sync_scalar(x_flat)
-    for xp, yp in parts:
-        xp.delete()
-        yp.delete()
-    del parts
+
+    x_flat, y_flat = synthetic_trials_device_chunked(
+        jax.random.PRNGKey(0), N_SUBJECTS * N_TRIALS, cfg.n_channels,
+        cfg.seq_len, cfg.n_classes, n_chunks=6, dtype=dt,
+    )
 
     for m in args.models:
         try:

@@ -32,6 +32,12 @@ def build_parser():
     p.add_argument("--output_dir", type=str, default="results/svm_baseline")
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SUBJECTS")
     p.add_argument("--synthetic_trials", type=int, default=60)
+    p.add_argument(
+        "--no-strict", action="store_true",
+        help="disable strict schema validation of raw dataset files "
+        "(strict is the default: a present-but-deviating .mat/.xlsx "
+        "fails loudly with the expected schema)",
+    )
     return p
 
 
@@ -61,8 +67,8 @@ def main(argv=None):
     else:
         base = resolve_data_folder(args.data_folder)
         excel = resolve_excel_path(base, args.excel_path)
-        test = load_test_set_per_subject(base, excel, strict=True)
-        data = {sid: load_subject_train_val(base, sid, strict=True) for sid in SUBJECTS}
+        test = load_test_set_per_subject(base, excel, strict=not getattr(args, "no_strict", False))
+        data = {sid: load_subject_train_val(base, sid, strict=not getattr(args, "no_strict", False)) for sid in SUBJECTS}
         subjects = list(SUBJECTS)
 
     os.makedirs(args.output_dir, exist_ok=True)

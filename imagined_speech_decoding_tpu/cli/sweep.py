@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default="results/sweep")
     p.add_argument("--synthetic", type=int, default=0, metavar="N_TRIALS",
                    help="use a synthetic corpus of N trials instead of the dataset")
+    p.add_argument(
+        "--no-strict", action="store_true",
+        help="disable strict schema validation of raw dataset files "
+        "(strict is the default: a present-but-deviating .mat/.xlsx "
+        "fails loudly with the expected schema)",
+    )
     return p
 
 
@@ -165,7 +171,7 @@ def main(argv=None):
         from ..data.ingest import load_subject_train_val
 
         mcfg = cfg.model
-        x, y = load_subject_train_val(resolve_data_folder(args.data_folder), args.subject, strict=True)
+        x, y = load_subject_train_val(resolve_data_folder(args.data_folder), args.subject, strict=not getattr(args, "no_strict", False))
         label = f"sub-{args.subject}"
 
     n_trials = x.shape[0]

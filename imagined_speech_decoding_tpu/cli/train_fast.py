@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="synthetic mode: fraction of labels re-drawn uniformly "
              "(deterministic; keeps campaign accuracy off the ceiling)",
     )
+    p.add_argument(
+        "--no-strict", action="store_true",
+        help="disable strict schema validation of raw dataset files "
+        "(strict is the default: a present-but-deviating .mat/.xlsx "
+        "fails loudly with the expected schema)",
+    )
     return p
 
 
@@ -183,10 +189,10 @@ def load_data(args):
 
     base = resolve_data_folder(args.data_folder)
     excel = resolve_excel_path(base, args.excel_path)
-    test = load_test_set_per_subject(base, excel, strict=True)
+    test = load_test_set_per_subject(base, excel, strict=not getattr(args, "no_strict", False))
     xs, ys = [], []
     for sid in SUBJECTS:
-        x, y = load_subject_train_val(base, sid, strict=True)
+        x, y = load_subject_train_val(base, sid, strict=not getattr(args, "no_strict", False))
         xs.append(x)
         ys.append(y)
     return np.stack(xs), np.stack(ys), list(SUBJECTS), test

@@ -48,6 +48,12 @@ def build_parser():
         "at once — 1 fits the measured 15.75 GB chip at the real "
         "geometry; raise it on HBM-richer hardware)",
     )
+    p.add_argument(
+        "--no-strict", action="store_true",
+        help="disable strict schema validation of raw dataset files "
+        "(strict is the default: a present-but-deviating .mat/.xlsx "
+        "fails loudly with the expected schema)",
+    )
     return p
 
 
@@ -85,7 +91,7 @@ def load_data(args):
         base = resolve_data_folder(args.data_folder)
         xs, ys = [], []
         for sid in SUBJECTS:
-            x, y = load_subject_train_val(base, sid, strict=True)
+            x, y = load_subject_train_val(base, sid, strict=not getattr(args, "no_strict", False))
             xs.append(x)
             ys.append(y)
         X, Y = np.stack(xs), np.stack(ys)
@@ -97,7 +103,7 @@ def load_data(args):
     elif not args.cache:
         base = resolve_data_folder(args.data_folder)
         excel = resolve_excel_path(base, args.excel_path)
-        test = load_test_set_per_subject(base, excel, strict=True)
+        test = load_test_set_per_subject(base, excel, strict=not getattr(args, "no_strict", False))
     else:
         test = {}
     return X, Y, subjects, test

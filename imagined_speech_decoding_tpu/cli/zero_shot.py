@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SUBJECTS")
     p.add_argument("--synthetic_trials", type=int, default=48)
     p.add_argument("--synthetic_epochs", type=int, default=6)
+    p.add_argument(
+        "--no-strict", action="store_true",
+        help="disable strict schema validation of raw dataset files "
+        "(strict is the default: a present-but-deviating .mat/.xlsx "
+        "fails loudly with the expected schema)",
+    )
     return p
 
 
@@ -169,7 +175,7 @@ def main(argv=None):
         model = make_fast_model(cfg.model)
         base = resolve_data_folder(args.data_folder)
         excel = resolve_excel_path(base, args.excel_path)
-        per_subject = load_test_set_per_subject(base, excel, strict=True)
+        per_subject = load_test_set_per_subject(base, excel, strict=not getattr(args, "no_strict", False))
         subjects = [s for s in SUBJECTS if s in per_subject]
         template_p, template_s = model.init(jax.random.PRNGKey(0))
         ps, ss = [], []

@@ -120,7 +120,13 @@ def manifest_check(cache_path: str, verbose: bool = True) -> Dict[str, tuple]:
     from .constants import TARGET_TIMEPOINTS
 
     n_ch = len(Electrodes)
-    per_split = {"train": 300, "valid": 50, "test": 50}
+    # One source of truth for the documented per-subject trial counts
+    # (ingest.SPLIT_TRIALS keys by on-disk struct name; map to splits).
+    per_split = {
+        "train": ingest.SPLIT_TRIALS["epo_train"],
+        "valid": ingest.SPLIT_TRIALS["epo_validation"],
+        "test": ingest.SPLIT_TRIALS["epo_test"],
+    }
     shapes: Dict[str, tuple] = {}
     with h5py.File(cache_path, "r") as f:
         official = any(f"X_{s}" in f for s in per_split)
@@ -128,6 +134,11 @@ def manifest_check(cache_path: str, verbose: bool = True) -> Dict[str, tuple]:
             for split, n_per in per_split.items():
                 if f"X_{split}" not in f:
                     continue
+                if f"Y_{split}" not in f:
+                    raise ingest.SchemaError(
+                        f"{cache_path}: split {split!r} has X_{split} but "
+                        f"no Y_{split}"
+                    )
                 xs, ys = f[f"X_{split}"].shape, f[f"Y_{split}"].shape
                 shapes[f"X_{split}"], shapes[f"Y_{split}"] = xs, ys
                 if (
@@ -143,15 +154,33 @@ def manifest_check(cache_path: str, verbose: bool = True) -> Dict[str, tuple]:
                         f"{TARGET_TIMEPOINTS}) with matching Y"
                     )
         else:
-            n_pool = sum(per_split[s] for s in ("train", "valid"))
+            # Per-subject pools merge train+valid; MISSING splits are
+            # tolerated by the loaders (per-split tolerance), so a pool
+            # of 300 (train only) or 50 (valid only) is merely
+            # incomplete, not deviating — accept the subset sums.
+            n_tr, n_va = per_split["train"], per_split["valid"]
+            allowed = {n_tr, n_va, n_tr + n_va}
             for sid in sorted(f.keys()):
-                xs, ys = f[sid]["X"].shape, f[sid]["Y"].shape
+                g = f[sid]
+                if "X" not in g or "Y" not in g:
+                    raise ingest.SchemaError(
+                        f"{cache_path}: subject {sid} group must have X and "
+                        f"Y; contains {sorted(g.keys())}"
+                    )
+                xs, ys = g["X"].shape, g["Y"].shape
                 shapes[f"{sid}/X"], shapes[f"{sid}/Y"] = xs, ys
-                if xs != (n_pool, n_ch, TARGET_TIMEPOINTS) or ys != (xs[0],):
+                if (
+                    len(xs) != 3
+                    or xs[0] not in allowed
+                    or xs[1] != n_ch
+                    or xs[2] != TARGET_TIMEPOINTS
+                    or ys != (xs[0],)
+                ):
                     raise ingest.SchemaError(
                         f"{cache_path}: subject {sid} has X{tuple(xs)} / "
-                        f"Y{tuple(ys)}; expected ({n_pool}, {n_ch}, "
-                        f"{TARGET_TIMEPOINTS}) with matching Y"
+                        f"Y{tuple(ys)}; expected (n, {n_ch}, "
+                        f"{TARGET_TIMEPOINTS}) with n in {sorted(allowed)} "
+                        f"and matching Y"
                     )
     if verbose:
         for k, v in shapes.items():

@@ -135,3 +135,61 @@ def synthetic_corpus(
         xs.append(x)
         ys.append(y)
     return np.stack(xs), np.stack(ys)
+
+
+def synthetic_trials_device_chunked(
+    key,
+    n_trials: int,
+    n_channels: int = 64,
+    n_samples: int = TARGET_TIMEPOINTS,
+    n_classes: int = 5,
+    *,
+    n_chunks: int = 6,
+    label_noise: float = 0.0,
+    dtype=None,
+    **kwargs,
+):
+    """:func:`synthetic_trials_device` built as ``n_chunks`` invocations
+    of one small program + an on-device concat, with the chunk buffers
+    freed before returning.
+
+    Why chunks: the remote TPU service's cost to stand up a COLD program
+    scales superlinearly (and with high variance) in the program's
+    output size — a fresh 1 GB-output generator's first invocation
+    measured 68 s once and >9 min another time, while an ~180 MB
+    (875-trial) program warms in seconds; the service caches programs
+    across client processes, so warm calls are sub-second either way.
+    Chunk keys are ``fold_in(key, i)`` — deterministic, identical
+    statistics (a different stream than the monolithic generator).
+    Freeing the chunk buffers matters: holding them alongside the
+    concatenated corpus doubles its HBM footprint into whatever trains
+    next (measured OOM at the 75-model bench stack).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if n_trials % n_chunks:
+        raise ValueError(f"n_chunks={n_chunks} must divide n_trials={n_trials}")
+    per = n_trials // n_chunks
+    gen = jax.jit(
+        lambda k: synthetic_trials_device(
+            k, per, n_channels, n_samples, n_classes,
+            label_noise=label_noise, dtype=dtype, **kwargs,
+        )
+    )
+    parts = [gen(jax.random.fold_in(key, i)) for i in range(n_chunks)]
+    x, y = jax.jit(
+        lambda ps: (
+            jnp.concatenate([p[0] for p in ps]),
+            jnp.concatenate([p[1] for p in ps]),
+        )
+    )(parts)
+    # Force completion before deleting inputs (donation-free program,
+    # but delete() on an in-flight input is undefined on some backends).
+    from ..profiling import sync_scalar
+
+    sync_scalar(x)
+    for xp, yp in parts:
+        xp.delete()
+        yp.delete()
+    return x, y

@@ -562,3 +562,33 @@ class TestManifestCheck:
                                  compression="gzip", chunks=(n,))
         with pytest.raises(SchemaError, match="02"):
             manifest_check(p, verbose=False)
+
+    def test_subjects_layout_partial_pool_ok(self, tmp_path):
+        """A 300-trial pool (train split only — missing valid is
+        TOLERATED, not deviating) passes the manifest."""
+        import h5py
+
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+
+        p = str(tmp_path / "s.h5")
+        with h5py.File(p, "w") as f:
+            g = f.create_group("01")
+            g.create_dataset("X", shape=(300, 64, 800), dtype="f4",
+                             compression="gzip", chunks=(1, 64, 800))
+            g.create_dataset("Y", shape=(300,), dtype="u1",
+                             compression="gzip", chunks=(300,))
+        shapes = manifest_check(p, verbose=False)
+        assert shapes["01/X"] == (300, 64, 800)
+
+    def test_official_missing_y_raises_schema_error(self, tmp_path):
+        import h5py
+
+        from imagined_speech_decoding_tpu.data.cache import manifest_check
+        from imagined_speech_decoding_tpu.data.ingest import SchemaError
+
+        p = str(tmp_path / "c.h5")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("X_train", shape=(600, 64, 800), dtype="f4",
+                             compression="gzip", chunks=(1, 64, 800))
+        with pytest.raises(SchemaError, match="no Y_train"):
+            manifest_check(p, verbose=False)
